@@ -1,0 +1,84 @@
+"""Expert motion featurization — the `Humanoid.qpos_fk` twin.
+
+Precomputes, per reference-motion frame, every feature the env/reward reads
+(reference uhc/smpllib/torch_smpl_humanoid.py:155 qpos_fk return dict):
+qpos, qvel (finite-difference, clipped ±10), world body pos/quats, local
+body quats, body COMs, root linear/angular velocities, per-body angular
+velocities, end-effector positions, COM, and the height lower bound used by
+root-height termination.
+
+Runs as one vmapped FK over all frames on device; an entire motion library
+becomes a stacked, padded array pytree that rollouts gather from with no
+host involvement.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from uhc_tpu.maths import (
+    angvel_fd,
+    quat_from_euler_zyx,
+    qvel_fd,
+    transform_vec,
+)
+from uhc_tpu.physics import engine as E
+from uhc_tpu.physics.model import Model, Topology
+from uhc_tpu.smpl.constants import SMPL_EE_INDICES
+
+
+def qpos_fk(topo: Topology, model: Model, qpos_seq: jnp.ndarray, fps: float = 30.0):
+    """(T, nq) -> expert feature dict of (T, ...) arrays."""
+    qpos_seq = jnp.asarray(qpos_seq)
+    T = qpos_seq.shape[0]
+    dt = 1.0 / fps
+
+    kin = jax.vmap(lambda q: E.fk(topo, model, q))(qpos_seq)
+    wbpos = kin["xpos"]            # (T, nb, 3)
+    wbquat = kin["xquat"]          # (T, nb, 4)
+    body_com = kin["xipos"]        # (T, nb, 3)
+
+    joint_quats = quat_from_euler_zyx(qpos_seq[:, 7:].reshape(T, -1, 3))
+    bquat = jnp.concatenate([qpos_seq[:, None, 3:7], joint_quats], axis=1)
+
+    if T > 1:
+        qvel = qvel_fd(qpos_seq[:-1], qpos_seq[1:], dt)
+        qvel = jnp.concatenate([qvel[0:1], qvel], axis=0)
+    else:
+        qvel = jnp.zeros((1, topo.nv), qpos_seq.dtype)
+    qvel = jnp.clip(qvel, -10.0, 10.0)
+
+    if T > 1:
+        bang = angvel_fd(bquat[:-1].reshape(T - 1, -1),
+                         bquat[1:].reshape(T - 1, -1), dt)
+        bang = jnp.concatenate([bang[0:1], bang], axis=0)
+    else:
+        bang = jnp.zeros((1, topo.nbody * 3), qpos_seq.dtype)
+
+    ee_wpos = wbpos[:, SMPL_EE_INDICES]                       # (T, 5, 3)
+    root_q = qpos_seq[:, 3:7]
+    ee_rel = ee_wpos - wbpos[:, 0:1]
+    ee_pos = transform_vec(ee_rel, root_q[:, None], "root")
+
+    rlinv = qvel[:, 0:3]
+    rlinv_local = transform_vec(rlinv, root_q, "root")
+
+    return {
+        "qpos": qpos_seq,
+        "qvel": qvel,
+        "wbpos": wbpos.reshape(T, -1),
+        "wbquat": wbquat.reshape(T, -1),
+        "bquat": bquat.reshape(T, -1),
+        "body_com": body_com.reshape(T, -1),
+        "rlinv": rlinv,
+        "rlinv_local": rlinv_local,
+        "rangv": qvel[:, 3:6],
+        "bangvel": bang,
+        "ee_wpos": ee_wpos.reshape(T, -1),
+        "ee_pos": ee_pos.reshape(T, -1),
+        "com": body_com[:, 0],
+        "head_pos": wbpos[:, 13],  # Head body index in mujoco order
+        "height_lb": jnp.min(qpos_seq[:, 2]),
+        "head_height_lb": jnp.min(wbpos[:, 13, 2]),
+        "len": T,
+    }

@@ -1,0 +1,307 @@
+"""TPU-native rigid-body engine for reduced-coordinate humanoids.
+
+This is the `mj_step`/`mj_forward`/`mj_fullM` replacement (reference hot loop:
+uhc/envs/humanoid_im.py:1014-1190 calling the MuJoCo C engine). Design is
+deliberately *dense* instead of recursive-sparse: body Jacobians are built as
+full (nbody, 3, nv) tensors so the mass matrix, bias force and contact
+projection become large matmuls that map onto the MXU, and everything
+`vmap`s cleanly over thousands of humanoids.
+
+Per substep (450 Hz):
+  1. FK: body world poses from qpos (matches torch_smpl_humanoid.py:303
+     forward_kinematics_batch conventions).
+  2. Velocity/bias-acceleration propagation (exact per-dof recursion over the
+     z-y-x gimbal hinges; free-joint angular dofs live in the root frame as
+     in MuJoCo).
+  3. Dense dof Jacobians -> mass matrix M = GᵀG + armature (composite-rigid-
+     body in Jacobian form) and bias force C (RNEA with q̈=0): the same
+     quantities mujoco_py exposes as mj_fullM/qfrc_bias
+     (humanoid_im.py:1019-1022).
+  4. Stable-PD torque (humanoid_im.py:1014-1076 semantics, LAPACK cho_solve
+     -> batched jnp Cholesky), residual-force (RFC) wrench, penalty ground
+     contacts, joint-limit penalties.
+  5. Forward dynamics M q̈ = qfrc, semi-implicit Euler integration with
+     quaternion root integration.
+
+State is a bare (qpos, qvel) pair; the engine is purely functional.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from uhc_tpu.maths import (
+    quat_from_euler_zyx,
+    quat_from_rotvec,
+    quat_integrate,
+    quat_mul,
+    quat_normalize,
+    quat_rotate,
+    quat_to_mat,
+    wrap_to_pi,
+)
+from uhc_tpu.physics.model import Model, Topology
+
+
+# ---------------------------------------------------------------------------
+# Kinematics
+# ---------------------------------------------------------------------------
+
+
+def fk(topo: Topology, model: Model, qpos: jnp.ndarray):
+    """Forward kinematics of a single humanoid.
+
+    Returns dict with xpos (nb,3), xquat (nb,4), xipos (nb,3 COM world),
+    and the per-dof world axes (nv,3) / anchors (nv,3) needed by dynamics.
+    """
+    nb = topo.nbody
+    dtype = qpos.dtype
+    root_q = quat_normalize(qpos[3:7])
+
+    xpos = [qpos[0:3]]
+    xquat = [root_q]
+    axes = [None] * (6 + 3 * (nb - 1))
+    eye = jnp.eye(3, dtype=dtype)
+    # free joint: 3 world-aligned linear dofs + 3 body-frame angular dofs
+    R0 = quat_to_mat(root_q)
+    for k in range(3):
+        axes[k] = eye[k]
+        axes[3 + k] = R0[:, k]
+
+    zhat, yhat, xhat = eye[2], eye[1], eye[0]
+    for i in range(1, nb):
+        p = topo.parents[i]
+        e = qpos[7 + 3 * (i - 1): 10 + 3 * (i - 1)]
+        qp = xquat[p]
+        pos = xpos[p] + quat_rotate(qp, model.body_pos[i])
+        hz, hy, hx = e[0] * 0.5, e[1] * 0.5, e[2] * 0.5
+        zero = jnp.zeros((), dtype)
+        q_z = jnp.stack([jnp.cos(hz), zero, zero, jnp.sin(hz)])
+        q_y = jnp.stack([jnp.cos(hy), zero, jnp.sin(hy), zero])
+        q_x = jnp.stack([jnp.cos(hx), jnp.sin(hx), zero, zero])
+        q_pz = quat_mul(qp, q_z)
+        q_pzy = quat_mul(q_pz, q_y)
+        qi = quat_mul(q_pzy, q_x)
+        j = 6 + 3 * (i - 1)
+        axes[j] = quat_rotate(qp, zhat)
+        axes[j + 1] = quat_rotate(q_pz, yhat)
+        axes[j + 2] = quat_rotate(q_pzy, xhat)
+        xpos.append(pos)
+        xquat.append(qi)
+
+    xpos = jnp.stack(xpos)
+    xquat = jnp.stack(xquat)
+    xipos = xpos + quat_rotate(xquat, model.body_ipos)
+    axes = jnp.stack(axes)  # (nv, 3)
+    dof_body = topo.dof_body()
+    anchors = xpos[dof_body]  # (nv, 3)
+    return dict(xpos=xpos, xquat=xquat, xipos=xipos, axes=axes, anchors=anchors)
+
+
+def velocities(topo: Topology, kin, qvel):
+    """Propagate body angular/linear velocities and bias (q̈=0) accelerations.
+
+    Exact treatment of the sequential z-y-x hinges: each axis is fixed in the
+    frame accumulated so far, so its derivative is ω_sofar × axis.
+    Returns omega (nb,3), v (nb,3 body-origin velocity), alpha_bias (nb,3),
+    a_bias (nb,3 body-origin bias accel), acom_bias (nb,3).
+    """
+    nb = topo.nbody
+    xpos, xipos, axes = kin["xpos"], kin["xipos"], kin["axes"]
+    omega = [None] * nb
+    v = [None] * nb
+    alpha = [None] * nb
+    a = [None] * nb
+    # root free joint: ω = R qvel[3:6] (body-local angular velocity), bias
+    # angular acceleration is identically zero (axes rotate with the body).
+    omega[0] = axes[3] * qvel[3] + axes[4] * qvel[4] + axes[5] * qvel[5]
+    v[0] = qvel[0:3]
+    alpha[0] = jnp.zeros(3, qvel.dtype)
+    a[0] = jnp.zeros(3, qvel.dtype)
+    for i in range(1, nb):
+        p = topo.parents[i]
+        j = 6 + 3 * (i - 1)
+        az, ay, ax = axes[j], axes[j + 1], axes[j + 2]
+        dz, dy, dx = qvel[j], qvel[j + 1], qvel[j + 2]
+        w0 = omega[p]
+        w1 = w0 + az * dz
+        w2 = w1 + ay * dy
+        omega[i] = w2 + ax * dx
+        alpha[i] = (alpha[p] + jnp.cross(w0, az) * dz + jnp.cross(w1, ay) * dy
+                    + jnp.cross(w2, ax) * dx)
+        d = xpos[i] - xpos[p]
+        v[i] = v[p] + jnp.cross(w0, d)
+        a[i] = a[p] + jnp.cross(alpha[p], d) + jnp.cross(w0, jnp.cross(w0, d))
+    omega = jnp.stack(omega)
+    v = jnp.stack(v)
+    alpha = jnp.stack(alpha)
+    a = jnp.stack(a)
+    r = xipos - xpos
+    acom = a + jnp.cross(alpha, r) + jnp.cross(omega, jnp.cross(omega, r))
+    return dict(omega=omega, vel=v, alpha_bias=alpha, a_bias=a, acom_bias=acom)
+
+
+# ---------------------------------------------------------------------------
+# Dynamics quantities
+# ---------------------------------------------------------------------------
+
+
+def jacobians(topo: Topology, kin):
+    """Dense COM Jacobians. Returns Jlin, Jang with shape (nb, 3, nv)."""
+    mask = jnp.asarray(topo.ancestor_mask(), kin["axes"].dtype)  # (nb, nv)
+    axes, anchors, xipos = kin["axes"], kin["anchors"], kin["xipos"]
+    nv = axes.shape[0]
+    is_lin = jnp.zeros((nv,), axes.dtype).at[0:3].set(1.0)
+    # rotational columns: a_j × (c_i − p_j); linear columns: a_j
+    r = xipos[:, None, :] - anchors[None, :, :]          # (nb, nv, 3)
+    rot_cols = jnp.cross(axes[None, :, :], r)            # (nb, nv, 3)
+    lin_cols = is_lin[None, :, None] * axes[None, :, :] + (
+        1.0 - is_lin[None, :, None]) * rot_cols
+    Jlin = (mask[:, :, None] * lin_cols).transpose(0, 2, 1)
+    Jang = (mask[:, :, None] * (1.0 - is_lin[None, :, None]) * axes[None, :, :]
+            ).transpose(0, 2, 1)
+    return Jlin, Jang
+
+
+def world_inertia_factors(model: Model, xquat):
+    """Principal world rotation R·R_iquat (nb,3,3) and √diag inertia (nb,3)."""
+    Rtot = quat_to_mat(quat_mul(xquat, model.body_iquat))
+    sq = jnp.sqrt(model.body_inertia)
+    return Rtot, sq
+
+
+def mass_matrix(model: Model, Jlin, Jang, Rtot, sqI):
+    """Composite-rigid-body mass matrix via one stacked Gram matmul:
+    M = Gᵀ G + diag(armature), G = [√mᵢ·Jlinᵢ ; √Iᵢ·Rᵢᵀ·Jangᵢ]ᵢ.
+    Equals MuJoCo's mj_fullM output (humanoid_im.py:1019)."""
+    nb, _, nv = Jlin.shape
+    Glin = jnp.sqrt(model.body_mass)[:, None, None] * Jlin
+    Gang = sqI[:, :, None] * jnp.einsum("nab,naj->nbj", Rtot, Jang)
+    G = jnp.concatenate([Glin, Gang], axis=1).reshape(nb * 6, nv)
+    M = G.T @ G
+    return M + jnp.diag(model.armature)
+
+
+def bias_force(model: Model, vel, Jlin, Jang, Rtot):
+    """qfrc_bias (Coriolis + centrifugal + gravity), same sign convention as
+    mujoco_py data.qfrc_bias (humanoid_im.py:1022): M q̈ + C = qfrc_applied."""
+    Iw = jnp.einsum("nab,nb,ncb->nac", Rtot, model.body_inertia, Rtot)
+    f = model.body_mass[:, None] * (vel["acom_bias"] - model.gravity)
+    t = (jnp.einsum("nab,nb->na", Iw, vel["alpha_bias"])
+         + jnp.cross(vel["omega"], jnp.einsum("nab,nb->na", Iw, vel["omega"])))
+    return jnp.einsum("naj,na->j", Jlin, f) + jnp.einsum("naj,na->j", Jang, t)
+
+
+# ---------------------------------------------------------------------------
+# Contacts (ground plane z=0) and joint limits
+# ---------------------------------------------------------------------------
+
+
+def contact_qfrc(topo: Topology, model: Model, kin, vel, Jlin, Jang):
+    """Penalty ground contacts at precomputed hull points.
+
+    Replaces MuJoCo's mesh-plane constraint contacts with a regularized
+    spring-damper + Coulomb friction cone; per-body wrench reduction keeps
+    the generalized-force projection at two einsums regardless of the number
+    of contact points.
+    """
+    cp, cb = model.contact_point, model.contact_body
+    xpos, xquat, xipos = kin["xpos"], kin["xquat"], kin["xipos"]
+    wp = xpos[cb] + quat_rotate(xquat[cb], cp)           # (P,3) world points
+    vp = vel["vel"][cb] + jnp.cross(vel["omega"][cb], wp - xpos[cb])
+    depth = wp[:, 2]
+    active = depth < 0.0
+    fn = jnp.where(
+        active,
+        jnp.maximum(-model.contact_stiffness * depth
+                    - model.contact_damping * vp[:, 2], 0.0),
+        0.0,
+    )
+    vt = vp[:, 0:2]
+    vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=1) + 1e-6)
+    ft = -model.friction * fn[:, None] * vt / vt_norm[:, None]
+    force = jnp.concatenate([ft, fn[:, None]], axis=1)   # (P,3) world
+    # reduce to per-body wrench about the body COM
+    F = jax.ops.segment_sum(force, cb, num_segments=topo.nbody)
+    T = jax.ops.segment_sum(jnp.cross(wp - xipos[cb], force), cb,
+                            num_segments=topo.nbody)
+    return (jnp.einsum("naj,na->j", Jlin, F) + jnp.einsum("naj,na->j", Jang, T))
+
+
+def limit_qfrc(model: Model, qpos, qvel, k: float = 2000.0, d: float = 20.0):
+    """Joint-range penalty (MuJoCo limited=true hinge ranges)."""
+    q = qpos[7:]
+    lo, hi = model.jnt_range[:, 0], model.jnt_range[:, 1]
+    below = jnp.maximum(lo - q, 0.0)
+    above = jnp.maximum(q - hi, 0.0)
+    out = (below > 0) | (above > 0)
+    tau = k * (below - above) - jnp.where(out, d * qvel[6:], 0.0)
+    return jnp.concatenate([jnp.zeros(6, qpos.dtype), tau])
+
+
+# ---------------------------------------------------------------------------
+# Stable PD (humanoid_im.py:1014-1076)
+# ---------------------------------------------------------------------------
+
+
+def stable_pd_torque(model: Model, qpos, qvel, target_pos, kp, kd, C, M):
+    """Stable-PD torque with implicit damping solve.
+
+    q̈_des = (M + Kd·dt)⁻¹ (−C − Kp·e − Kd·ė), e evaluated one step ahead
+    (compute_desired_accel / compute_torque)."""
+    dt = model.dt
+    nv = qvel.shape[0]
+    kp_full = jnp.concatenate([jnp.zeros(6, qpos.dtype), kp])
+    kd_full = jnp.concatenate([jnp.zeros(6, qpos.dtype), kd])
+    qpos_err = jnp.concatenate(
+        [jnp.zeros(6, qpos.dtype), qpos[7:] + qvel[6:] * dt - target_pos])
+    qvel_err = qvel
+    rhs = -C - kp_full * qpos_err - kd_full * qvel_err
+    A = M + jnp.diag(kd_full) * dt
+    L = jax.scipy.linalg.cho_factor(A, lower=True)
+    qacc_des = jax.scipy.linalg.cho_solve(L, rhs)
+    tau = -kp * qpos_err[6:] - kd * (qvel_err[6:] + qacc_des[6:] * dt)
+    return tau
+
+
+# ---------------------------------------------------------------------------
+# Integration + full substep
+# ---------------------------------------------------------------------------
+
+
+def integrate(model: Model, qpos, qvel, qacc):
+    """Semi-implicit Euler with quaternion root integration (MuJoCo default)."""
+    dt = model.dt
+    qvel_new = qvel + dt * qacc
+    root_pos = qpos[0:3] + dt * qvel_new[0:3]
+    root_quat = quat_integrate(qpos[3:7], qvel_new[3:6], dt)
+    joints = qpos[7:] + dt * qvel_new[6:]
+    return jnp.concatenate([root_pos, root_quat, joints]), qvel_new
+
+
+def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
+            qfrc_applied):
+    """One 450 Hz physics substep with stable-PD actuation.
+
+    `qfrc_applied` is the residual-force wrench already mapped to generalized
+    coordinates (rfc_implicit writes the first 6 entries, humanoid_im.py:1143).
+    Returns (qpos', qvel', torque)."""
+    kin = fk(topo, model, qpos)
+    vel = velocities(topo, kin, qvel)
+    Jlin, Jang = jacobians(topo, kin)
+    Rtot, sqI = world_inertia_factors(model, kin["xquat"])
+    M = mass_matrix(model, Jlin, Jang, Rtot, sqI)
+    C = bias_force(model, vel, Jlin, Jang, Rtot)
+
+    tau = stable_pd_torque(model, qpos, qvel, target_pos, kp, kd, C, M)
+    tau = jnp.clip(tau, -model.torque_lim, model.torque_lim)
+    qfrc_act = jnp.concatenate([jnp.zeros(6, qpos.dtype), tau])
+
+    qfrc_con = contact_qfrc(topo, model, kin, vel, Jlin, Jang)
+    qfrc_lim = limit_qfrc(model, qpos, qvel)
+
+    rhs = qfrc_act + qfrc_applied + qfrc_con + qfrc_lim - C
+    L = jax.scipy.linalg.cho_factor(M, lower=True)
+    qacc = jax.scipy.linalg.cho_solve(L, rhs)
+    qpos_n, qvel_n = integrate(model, qpos, qvel, qacc)
+    return qpos_n, qvel_n, tau

@@ -1,0 +1,119 @@
+"""Humanoid model arrays — the TPU-native equivalent of MjModel.
+
+Instead of the reference's XML round-trip per body shape
+(uhc/smpllib/smpl_robot.py Robot.export_xml_string -> mujoco_py MjModel),
+the model here is a pair of containers:
+
+* `Topology` — static, hashable python/numpy data (tree, dof addressing,
+  ancestor masks). Fixed per robot family (SMPL-24 / SMPL-H-52); changing it
+  triggers recompilation, which is the deliberate compilation boundary.
+* `Model` — a JAX pytree of arrays (offsets, inertias, gains, contact
+  points). Body-shape variation (SMPL betas) only changes these arrays, so
+  thousands of differently-shaped humanoids batch under one compiled program
+  (SURVEY.md §7 "shape variation without recompilation").
+
+Layouts match MuJoCo for compatibility with reference data:
+qpos = [root xyz (world), root quat (wxyz), 23 × euler-ZYX triplets] (76)
+qvel = [root linvel (world), root angvel (root-local), 69 joint rates] (75)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Topology:
+    """Static tree structure (not traced; safe to close over in jit)."""
+
+    nbody: int
+    parents: tuple  # len nbody, -1 for root
+    body_names: tuple
+
+    @property
+    def nv(self) -> int:
+        return 6 + 3 * (self.nbody - 1)
+
+    @property
+    def nq(self) -> int:
+        return 7 + 3 * (self.nbody - 1)
+
+    @property
+    def ndof(self) -> int:
+        return 3 * (self.nbody - 1)
+
+    def dof_body(self) -> np.ndarray:
+        """Body index owning each dof (first 6 -> root)."""
+        out = [0] * 6
+        for i in range(1, self.nbody):
+            out += [i] * 3
+        return np.array(out, np.int32)
+
+    def ancestor_mask(self) -> np.ndarray:
+        """(nbody, nv) 1.0 where dof j is in the kinematic chain of body i."""
+        nb, nv = self.nbody, self.nv
+        mask = np.zeros((nb, nv), np.float32)
+        for i in range(nb):
+            chain = []
+            b = i
+            while b != -1:
+                chain.append(b)
+                b = self.parents[b]
+            for b in chain:
+                if b == 0:
+                    mask[i, 0:6] = 1.0
+                else:
+                    s = 6 + 3 * (b - 1)
+                    mask[i, s:s + 3] = 1.0
+        return mask
+
+    def topo_order(self):
+        """Indices in parent-before-child order (the build order already is)."""
+        return list(range(self.nbody))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Model:
+    """Array data of the humanoid (a pytree; leading batch dims allowed)."""
+
+    # kinematics
+    body_pos: Any      # (nbody,3) offset from parent frame (root: world offset)
+    body_ipos: Any     # (nbody,3) COM in body frame
+    body_mass: Any     # (nbody,)
+    body_inertia: Any  # (nbody,3) principal moments
+    body_iquat: Any    # (nbody,4) principal frame orientation in body frame
+    # dofs
+    armature: Any      # (nv,)
+    jkp: Any           # (ndof,) stable-PD kp
+    jkd: Any           # (ndof,) stable-PD kd
+    torque_lim: Any    # (ndof,)
+    a_scale: Any       # (ndof,) torque-mode action scale
+    jnt_range: Any     # (ndof,2) joint limits (radians)
+    # contact
+    contact_point: Any  # (P,3) candidate points, body frame
+    contact_body: Any   # (P,) int32 body index
+    # scalars (0-d arrays so the pytree stays uniform)
+    friction: Any        # tangential friction coefficient
+    contact_stiffness: Any
+    contact_damping: Any
+    gravity: Any        # (3,)
+    dt: Any             # physics timestep (1/450)
+
+    def nbody(self):
+        return self.body_pos.shape[-2]
+
+
+def model_to_dtype(m: Model, dtype) -> Model:
+    fields = {}
+    for f in dataclasses.fields(Model):
+        v = getattr(m, f.name)
+        if f.name == "contact_body":
+            fields[f.name] = jnp.asarray(v, jnp.int32)
+        else:
+            fields[f.name] = jnp.asarray(v, dtype)
+    return Model(**fields)

@@ -1,0 +1,117 @@
+"""Host-side mesh utilities for robot building.
+
+Replaces the reference's native dependencies (numpy-stl for IO,
+VTK quadric decimation + Qhull convex hulls in uhc/smpllib/smpl_robot.py:83-147
+and MuJoCo's inertiafromgeom engine) with self-contained numpy:
+
+* binary/ASCII STL reading,
+* exact solid mass properties of a closed triangle mesh (divergence theorem,
+  Mirtich-style), used where MuJoCo computed body mass/inertia from mesh
+  geoms at density 1000 (assets/mujoco_models template default),
+* contact-point selection: farthest-point-sampled convex-hull vertices that
+  stand in for mesh-vs-plane collision on the TPU engine.
+
+Everything here runs once at model-build time (not in the hot loop).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_stl(path: str) -> np.ndarray:
+    """Read an STL file -> (n_tri, 3, 3) float64 triangle vertices."""
+    with open(path, "rb") as f:
+        head = f.read(80)
+        rest = f.read()
+    # Heuristic: binary STL has tri-count consistent with file size.
+    if len(rest) >= 4:
+        n = np.frombuffer(rest[:4], dtype="<u4")[0]
+        if 4 + n * 50 == len(rest):
+            rec = np.frombuffer(rest[4:4 + n * 50], dtype=np.uint8).reshape(n, 50)
+            data = rec[:, :48].copy().view("<f4").reshape(n, 4, 3)
+            return data[:, 1:4].astype(np.float64)
+    # ASCII fallback
+    text = (head + rest).decode("ascii", errors="ignore")
+    verts = []
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("vertex"):
+            verts.append([float(t) for t in line.split()[1:4]])
+    v = np.array(verts, dtype=np.float64)
+    return v.reshape(-1, 3, 3)
+
+
+def mesh_mass_properties(tris: np.ndarray, density: float = 1000.0):
+    """Exact solid mass properties of a closed triangle mesh.
+
+    Divergence-theorem integrals over signed tetrahedra (origin, v0, v1, v2).
+    Returns (mass, com (3,), inertia_com (3,3)) — inertia about the COM in
+    the mesh's coordinate frame.
+    """
+    v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
+    # signed volume of each tet against the origin
+    vol6 = np.einsum("ij,ij->i", v0, np.cross(v1, v2))
+    volume = vol6.sum() / 6.0
+    com = ((v0 + v1 + v2) / 4.0 * vol6[:, None]).sum(0) / (6.0 * volume)
+
+    # Covariance-based inertia (canonical tetra covariance transform).
+    # C = integral of x x^T over the solid.
+    cov_canon = (1.0 / 60.0) * (np.eye(3) + np.ones((3, 3)))  # for unit tet? use direct sum
+    C = np.zeros((3, 3))
+    for a in range(3):
+        for b in range(3):
+            # integral over tet of x_a x_b dV =
+            # vol6/120 * (sum_i sum_j v_i[a] v_j[b] + sum_i v_i[a] v_i[b])
+            s_ab = (v0[:, a] + v1[:, a] + v2[:, a]) * (v0[:, b] + v1[:, b] + v2[:, b])
+            p_ab = v0[:, a] * v0[:, b] + v1[:, a] * v1[:, b] + v2[:, a] * v2[:, b]
+            C[a, b] = (vol6 * (s_ab + p_ab)).sum() / 120.0
+    del cov_canon
+    mass = density * volume
+    C *= density
+    # shift to COM: C_com = C - m * com com^T
+    C_com = C - mass * np.outer(com, com)
+    inertia = np.trace(C_com) * np.eye(3) - C_com
+    return mass, com, inertia
+
+
+def principal_inertia(inertia: np.ndarray):
+    """Diagonalize a 3x3 inertia tensor -> (diag (3,), quat wxyz of principal
+    frame) with a right-handed eigenbasis."""
+    w, V = np.linalg.eigh(inertia)
+    if np.linalg.det(V) < 0:
+        V[:, 0] = -V[:, 0]
+    from scipy.spatial.transform import Rotation as sRot
+
+    q = sRot.from_matrix(V).as_quat()  # xyzw
+    return w, np.roll(q, 1)
+
+
+def convex_hull_points(verts: np.ndarray, k: int) -> np.ndarray:
+    """Pick k well-spread convex-hull vertices (farthest-point sampling).
+
+    Stand-in for mesh-vs-plane contact: plane contacts of a convex mesh occur
+    at hull vertices, so tracking these k points reproduces foot-ground
+    dynamics without mesh collision on-device.
+    """
+    from scipy.spatial import ConvexHull
+
+    uv = np.unique(np.round(verts, 6), axis=0)
+    if len(uv) > 3:
+        try:
+            hull = ConvexHull(uv)
+            pts = uv[hull.vertices]
+        except Exception:
+            pts = uv
+    else:
+        pts = uv
+    if len(pts) <= k:
+        out = np.concatenate([pts, np.tile(pts[-1:], (k - len(pts), 1))])
+        return out
+    # farthest point sampling, seeded at lowest-z vertex (ground bias)
+    chosen = [int(np.argmin(pts[:, 2]))]
+    d = np.linalg.norm(pts - pts[chosen[0]], axis=1)
+    for _ in range(k - 1):
+        nxt = int(np.argmax(d))
+        chosen.append(nxt)
+        d = np.minimum(d, np.linalg.norm(pts - pts[nxt], axis=1))
+    return pts[chosen]

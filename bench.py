@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Benchmark: batched humanoid physics steps/sec on the local accelerator.
+
+The BASELINE metric (BASELINE.md): ≥1M batched humanoid physics (sub)steps
+per second on TPU. One "physics step" = one 450 Hz stable-PD substep of the
+full 24-body / 75-dof SMPL humanoid (FK + CRB mass matrix + bias + contacts
++ two 75×75 Cholesky solves + integration) — the unit the reference executes
+as `sim.step()` + `cho_solve` (uhc/envs/humanoid_im.py:1145-1190).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is measured against 1,000,000 steps/sec (the BASELINE.json
+north star; the reference itself publishes no numbers — a single-threaded
+MuJoCo 2.1 humanoid runs O(1e4) steps/sec on CPU).
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    from uhc_tpu.config.config import EnvConfig
+    from uhc_tpu.data.dataset import (build_expert_library, load_motion_file,
+                                      load_neutral)
+    from uhc_tpu.envs import humanoid_im as H
+    from uhc_tpu.physics.model import model_to_dtype
+    from uhc_tpu.smpl.constants import default_diff_weights
+    from uhc_tpu.smpl.mjcf import load_mjcf_humanoid
+
+    XML = "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+    NEUTRAL = "/root/reference/sample_data/standing_neutral.pkl"
+
+    B = int(os.environ.get("BENCH_ENVS", 2048))
+    CTRL_STEPS = int(os.environ.get("BENCH_STEPS", 20))
+
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    seqs = load_motion_file(NEUTRAL)
+    lib, _ = build_expert_library(topo, model, seqs)
+    nqp, nqv = load_neutral(NEUTRAL)
+    jpw, bdw = default_diff_weights()
+    jpw, bdw = jnp.asarray(jpw), jnp.asarray(bdw)
+    cfg = EnvConfig()
+
+    rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, B)
+    states = jax.vmap(
+        lambda k: H.env_reset(topo, model, cfg, k, jnp.zeros((), jnp.int32),
+                              lib, nqp, nqv, train=True))(keys)
+    ndof, vf, meta = H.action_dims(topo, cfg)
+    actions = jnp.zeros((B, ndof + vf + meta))
+
+    @jax.jit
+    def run(states):
+        def body(s, _):
+            s2, _, r, _, d = jax.vmap(
+                lambda ss, aa: H.env_step(topo, model, cfg, ss, aa, lib,
+                                          jpw, bdw))(s, actions)
+            return s2, r
+        s, rews = jax.lax.scan(body, states, None, length=CTRL_STEPS)
+        return s, rews
+
+    # compile
+    s, rews = run(states)
+    jax.block_until_ready(rews)
+    # measure
+    t0 = time.perf_counter()
+    s, rews = run(s)
+    jax.block_until_ready(rews)
+    dt = time.perf_counter() - t0
+
+    substeps = B * CTRL_STEPS * cfg.frame_skip
+    sps = substeps / dt
+    print(json.dumps({
+        "metric": "humanoid_physics_steps_per_sec",
+        "value": round(sps, 1),
+        "unit": "450Hz_substeps/sec",
+        "vs_baseline": round(sps / 1_000_000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

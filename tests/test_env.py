@@ -1,0 +1,112 @@
+"""Env layer tests: expert featurization, obs layout, step/reset mechanics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uhc_tpu.config.config import EnvConfig
+from uhc_tpu.data.dataset import build_expert_library, load_motion_file, load_neutral
+from uhc_tpu.envs import humanoid_im as H
+from uhc_tpu.envs.expert import qpos_fk
+from uhc_tpu.physics.model import model_to_dtype
+from uhc_tpu.smpl.constants import default_diff_weights
+from uhc_tpu.smpl.mjcf import load_mjcf_humanoid
+
+XML = "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+NEUTRAL = "/root/reference/sample_data/standing_neutral.pkl"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    seqs = load_motion_file(NEUTRAL)
+    lib, keys = build_expert_library(topo, model, seqs, max_len=40)
+    nq, nv = load_neutral(NEUTRAL)
+    jpw, bdw = default_diff_weights()
+    aux = {"neutral_qpos": nq, "neutral_qvel": nv,
+           "jpos_diffw": jnp.asarray(jpw), "body_diffw": jnp.asarray(bdw)}
+    cfg = EnvConfig(meta_pd=True, residual_force=True, reactive_v=1,
+                    env_init_noise=0.01)
+    return topo, model, cfg, lib, aux
+
+
+def test_expert_features(setup):
+    topo, model, cfg, lib, aux = setup
+    assert lib["qpos"].shape == (1, 40, 76)
+    assert lib["qvel"].shape == (1, 40, 75)
+    assert lib["wbpos"].shape == (1, 40, 72)
+    assert lib["wbquat"].shape == (1, 40, 96)
+    assert lib["bquat"].shape == (1, 40, 96)
+    assert lib["ee_wpos"].shape == (1, 40, 15)
+    assert int(lib["len"][0]) == 40
+    # standing clip: root stays ~0.9 m, head above 1.5 m
+    assert 0.7 < float(lib["qpos"][0, 0, 2]) < 1.1
+    assert float(lib["head_pos"][0, 0, 2]) > 1.4
+    # quats are unit
+    wq = np.asarray(lib["wbquat"][0, 0]).reshape(-1, 4)
+    np.testing.assert_allclose(np.linalg.norm(wq, axis=1), 1.0, atol=1e-5)
+
+
+def test_obs_dim_and_step(setup):
+    topo, model, cfg, lib, aux = setup
+    rng = jax.random.PRNGKey(0)
+    state = H.env_reset(topo, model, cfg, rng, jnp.zeros((), jnp.int32), lib,
+                        aux["neutral_qpos"], aux["neutral_qvel"], train=False)
+    obs = H.obs_v2(topo, model, cfg, state, lib)
+    assert obs.shape == (H.obs_dim(topo, cfg),) == (640,)
+    assert bool(jnp.all(jnp.isfinite(obs)))
+
+    ndof, vf, meta = H.action_dims(topo, cfg)
+    assert (ndof, vf, meta) == (69, 6, 30)
+    action = jnp.zeros(ndof + vf + meta)
+    state2, obs2, reward, terms, done = H.env_step(
+        topo, model, cfg, state, action, lib, aux["jpos_diffw"],
+        aux["body_diffw"])
+    assert int(state2.cur_t) == 1
+    assert obs2.shape == obs.shape
+    assert bool(jnp.all(jnp.isfinite(obs2)))
+    assert 0.0 <= float(reward) <= 1.0
+    assert terms.shape == (5,)
+    # standing clip + zero action: high pose/com rewards, no instant fail
+    assert not bool(done)
+    assert float(reward) > 0.4, float(reward)
+
+
+def test_zero_action_tracks_standing(setup):
+    """Stable-PD toward the expert pose should track the standing clip for
+    20 steps (0.66 s) without body-diff failure — the contact/PD calibration
+    gate for the whole slice."""
+    topo, model, cfg, lib, aux = setup
+    rng = jax.random.PRNGKey(1)
+    state = H.env_reset(topo, model, cfg, rng, jnp.zeros((), jnp.int32), lib,
+                        aux["neutral_qpos"], aux["neutral_qvel"], train=False)
+    ndof, vf, meta = H.action_dims(topo, cfg)
+    action = jnp.zeros(ndof + vf + meta)
+
+    @jax.jit
+    def roll(state):
+        def body(s, _):
+            s2, _, r, _, d = H.env_step(topo, model, cfg, s, action, lib,
+                                        aux["jpos_diffw"], aux["body_diffw"])
+            return s2, (r, d)
+        return jax.lax.scan(body, state, None, length=20)
+
+    state2, (rews, dones) = roll(state)
+    assert not bool(jnp.any(dones[:-1])), np.asarray(dones)
+    assert float(jnp.mean(rews)) > 0.4, float(jnp.mean(rews))
+
+
+def test_reset_reactive_and_noise(setup):
+    topo, model, cfg, lib, aux = setup
+    # train-mode resets with reactive_rate produce a mix of expert-pose and
+    # neutral-pose inits; all must be finite and near the ground
+    keys = jax.random.split(jax.random.PRNGKey(2), 32)
+    states = jax.vmap(
+        lambda k: H.env_reset(topo, model, cfg, k, jnp.zeros((), jnp.int32),
+                              lib, aux["neutral_qpos"], aux["neutral_qvel"],
+                              train=True))(keys)
+    assert bool(jnp.all(jnp.isfinite(states.qpos)))
+    assert bool(jnp.all(states.qpos[:, 2] > 0.3))
+    assert bool(jnp.all(states.qpos[:, 2] < 1.5))

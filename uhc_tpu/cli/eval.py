@@ -1,0 +1,56 @@
+"""Evaluation CLI — scripts/eval_uhc.py twin (--mode stats).
+
+Usage:
+  python -m uhc_tpu.cli.eval --cfg uhc_implicit --epoch 1000 \
+      --data <test pkl>
+Prints per-sequence metrics and the coverage summary
+(succ/mpjpe/pa_mpjpe/mpjpe_g/accel_dist/vel_dist/root_dist).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.getcwd())
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--epoch", type=int, required=True)
+    p.add_argument("--data",
+                   default="/root/reference/sample_data/standing_neutral.pkl")
+    p.add_argument("--max-seq-len", type=int, default=None)
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+    from uhc_tpu.config.config import Config
+    from uhc_tpu.learn.agent import CopycatAgent
+    from uhc_tpu.learn.evaluate import make_eval_fn, summarize
+
+    try:
+        cfg = Config.from_yaml(args.cfg)
+    except FileNotFoundError:
+        cfg = Config(cfg_id=args.cfg)
+
+    agent = CopycatAgent(cfg, args.data, num_envs=1, horizon=1,
+                         max_seq_len=args.max_seq_len)
+    agent.load_checkpoint(args.epoch)
+
+    max_steps = int(agent.expert_lib["len"].max()) - 1
+    eval_fn = make_eval_fn(agent.topo, agent.env_cfg, agent.policy_mean_fn,
+                           max_steps)
+    traj, fail_safe, percent = eval_fn(
+        agent.model, agent.expert_lib, agent.aux,
+        agent.ppo_state.policy_params, agent.rs)
+    res = summarize(traj, fail_safe, percent, agent.expert_lib,
+                    agent.seq_keys)
+    for k, m in res["per_seq"].items():
+        print(k, json.dumps({kk: round(vv, 2) for kk, vv in m.items()}))
+    print("SUMMARY", json.dumps(res["summary"], indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Training CLI — scripts/train_uhc.py twin.
+
+Usage:
+  python -m uhc_tpu.cli.train --cfg uhc_implicit --motion-file <pkl> \
+      [--num-envs 1024] [--horizon 48] [--epochs 100] [--epoch N to resume]
+
+Reference flags (train_uhc.py:34-99) map 1:1; `--num-envs × --horizon`
+replaces `min_batch_size` (50000 steps/epoch ≈ 1024×48).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.getcwd())
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--motion-file",
+                   default="/root/reference/sample_data/standing_neutral.pkl")
+    p.add_argument("--num-envs", type=int, default=1024)
+    p.add_argument("--horizon", type=int, default=48)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--epoch", type=int, default=0, help="resume epoch")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--max-seq-len", type=int, default=None)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard envs over all local devices")
+    args = p.parse_args()
+
+    import jax
+    from uhc_tpu.config.config import Config
+    from uhc_tpu.learn.agent import CopycatAgent
+    from uhc_tpu.utils.logger import create_logger
+
+    try:
+        cfg = Config.from_yaml(args.cfg)
+    except FileNotFoundError:
+        cfg = Config(cfg_id=args.cfg)
+
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from jax.sharding import Mesh
+        mesh = Mesh(jax.devices(), ("data",))
+
+    agent = CopycatAgent(cfg, args.motion_file, num_envs=args.num_envs,
+                         horizon=args.horizon, mesh=mesh, seed=args.seed,
+                         max_seq_len=args.max_seq_len)
+    logger = create_logger(os.path.join(agent.results_dir, "log"))
+    logger.info(f"cfg {cfg.cfg_id}: obs_dim={agent.obs_dim} "
+                f"action_dim={agent.action_dim} seqs={len(agent.seq_keys)}")
+
+    if args.epoch > 0:
+        agent.load_checkpoint(args.epoch)
+
+    epochs = args.epochs if args.epochs is not None else cfg.num_epoch
+    for i in range(args.epoch, epochs):
+        stats = agent.optimize_policy(i)
+        logger.info(
+            f"epoch {i}: R={float(stats['reward_mean']):.4f} "
+            f"succ={float(stats['success_rate']):.3f} "
+            f"eps={int(stats['episodes'])} "
+            f"len={float(stats['avg_eps_len']):.1f} "
+            f"sps={float(stats['steps_per_sec']):.0f} "
+            f"T={float(stats['T_total']):.2f}s")
+        if (i + 1) % cfg.save_n_epochs == 0 or i + 1 == epochs:
+            agent.save_checkpoint(i + 1)
+            logger.info(f"saved checkpoint @ {i + 1}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Hard-example mining sampler.
+
+Reference semantics (uhc/agents/agent_copycat.py:561,590-603 freq_dict +
+uhc/data_loaders/dataset_amass_single.py:184-186): every finished episode
+logs (success, start-frame) per sequence; sampling probability is
+softmax(-ewma(success)/temp) mixed with a uniform draw at rate
+(1 - sampling_freq). Here the telemetry arrives as device arrays from the
+rollout scan (seq_idx/percents/fails at done steps) and the sampler emits a
+logits vector consumed by the on-device categorical in the rollout.
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+
+def ewma(xs: np.ndarray, alpha: float = 0.05) -> float:
+    avg = xs[0]
+    for x in xs[1:]:
+        avg = alpha * x + (1 - alpha) * avg
+    return float(avg)
+
+
+class FailureFrequencySampler:
+    def __init__(self, num_seqs: int, sampling_temp: float = 0.2,
+                 sampling_freq: float = 0.75, history: int = 200):
+        self.num_seqs = num_seqs
+        self.temp = sampling_temp
+        self.freq = sampling_freq
+        self.history = history
+        self.records: List[List[float]] = [[] for _ in range(num_seqs)]
+
+    def update_from_rollout(self, seq_idx, dones, percents):
+        """Ingest (T, B) arrays from a rollout scan."""
+        seq_idx = np.asarray(seq_idx).reshape(-1)
+        dones = np.asarray(dones).reshape(-1)
+        percents = np.asarray(percents).reshape(-1)
+        for s, d, p in zip(seq_idx, dones, percents):
+            if d:
+                rec = self.records[int(s)]
+                rec.append(float(p >= 1.0))
+                if len(rec) > self.history:
+                    del rec[0]
+
+    def success_rates(self) -> np.ndarray:
+        return np.array([ewma(np.array(r)) if r else 0.0
+                         for r in self.records])
+
+    def logits(self) -> np.ndarray:
+        """log-probabilities for the device categorical: the
+        softmax(-ewma/temp) distribution mixed with uniform at (1-freq)."""
+        x = self.success_rates()
+        p = np.exp(-x / self.temp)
+        p = p / p.sum()
+        p = self.freq * p + (1 - self.freq) / self.num_seqs
+        return np.log(np.maximum(p, 1e-12)).astype(np.float32)
+
+    def state_dict(self):
+        return {"records": self.records}
+
+    def load_state_dict(self, d):
+        self.records = d["records"]

@@ -1,0 +1,399 @@
+"""Functional copycat (motion imitation) environment.
+
+TPU-native re-design of reference uhc/envs/humanoid_im.py HumanoidEnv: the
+env is a set of pure functions over an `EnvState` pytree; there is no
+object, no XML reload, no host round-trip. An expert *library* (stacked,
+padded motion features from `uhc_tpu.envs.expert.qpos_fk`) lives on device
+and every per-step expert read is a gather. Episode auto-reset happens
+inside the rollout scan, so thousands of envs run lock-step under one jit.
+
+Step semantics follow humanoid_im.py:1192 step / :1145 do_simulation:
+15 stable-PD substeps at 450 Hz (with per-substep meta-PD gain scaling and
+implicit residual forces), body-diff termination and percent bookkeeping.
+Observation v2 follows get_full_obs_v2 (humanoid_im.py:419) including its
+published quirks (double velocity transform :425+:451, `target_root_quat[:3]`
+rel_pos read :466) for checkpoint-compatibility.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from uhc_tpu.config.config import EnvConfig
+from uhc_tpu.maths import (
+    angvel_fd,
+    de_heading,
+    heading_angle,
+    heading_quat,
+    multi_quat_diff,
+    multi_quat_norm,
+    quat_from_euler_zyx,
+    quat_inv,
+    quat_mul,
+    quat_rotate,
+    transform_vec,
+    wrap_to_pi,
+)
+from uhc_tpu.physics import engine as E
+from uhc_tpu.physics.model import Model, Topology
+from uhc_tpu.smpl.constants import SMPL_EE_INDICES
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EnvState:
+    qpos: Any          # (nq,)
+    qvel: Any          # (nv,)
+    cur_t: Any         # int32 scalar
+    start_ind: Any     # int32 scalar
+    seq_idx: Any       # int32 scalar — which expert sequence
+    prev_bquat: Any    # (nb*4,)
+    done: Any          # bool
+    fail: Any          # bool
+    end: Any           # bool
+    percent: Any       # f32
+    rng: Any           # PRNG key
+
+
+# ---------------------------------------------------------------------------
+# Expert library access
+# ---------------------------------------------------------------------------
+
+
+def expert_at(expert_lib: Dict[str, Any], seq_idx, t):
+    """Gather expert features of sequence `seq_idx` at frame index
+    min(t, len-1) (non-cyclic clamp of humanoid_im.py:1322 get_expert_index)."""
+    length = expert_lib["len"][seq_idx]
+    ind = jnp.minimum(t, length - 1)
+    per_frame = {
+        k: v[seq_idx, ind]
+        for k, v in expert_lib.items()
+        if k not in ("len", "height_lb", "head_height_lb", "beta", "gender")
+    }
+    per_frame["len"] = length
+    return per_frame
+
+
+def action_dims(topo: Topology, cfg: EnvConfig):
+    """ndof / vf_dim / meta_pd_dim layout (humanoid_im.py:226-250)."""
+    ndof = topo.ndof
+    vf_dim = 0
+    if cfg.residual_force:
+        vf_dim = 6 if cfg.residual_force_mode == "implicit" else 0
+    meta_dim = 2 * cfg.frame_skip if cfg.meta_pd else (2 * ndof if cfg.meta_pd_joint else 0)
+    return ndof, vf_dim, meta_dim
+
+
+# ---------------------------------------------------------------------------
+# Simulation: one 30 Hz control step = frame_skip stable-PD substeps
+# ---------------------------------------------------------------------------
+
+
+def do_simulation(topo: Topology, model: Model, cfg: EnvConfig, qpos, qvel,
+                  action, target_base, rfc_rate):
+    """humanoid_im.py:1145 do_simulation as a lax.scan over substeps."""
+    ndof, vf_dim, meta_dim = action_dims(topo, cfg)
+    ctrl_joint = action[:ndof]
+    base_rot = jnp.asarray(cfg.base_rot, qpos.dtype)
+
+    if cfg.meta_pd:
+        meta = action[ndof + vf_dim: ndof + vf_dim + meta_dim]
+        kp_scale = jnp.clip(meta[:cfg.frame_skip] + 1.0, 0.0, 10.0)
+        kd_scale = jnp.clip(meta[cfg.frame_skip:] + 1.0, 0.0, 10.0)
+    elif cfg.meta_pd_joint:
+        meta = action[ndof + vf_dim: ndof + vf_dim + meta_dim]
+        kp_scale = jnp.tile(jnp.clip(meta[:ndof] + 1.0, 0.0, 10.0), (cfg.frame_skip, 1))
+        kd_scale = jnp.tile(jnp.clip(meta[ndof:] + 1.0, 0.0, 10.0), (cfg.frame_skip, 1))
+    else:
+        kp_scale = jnp.ones((cfg.frame_skip,), qpos.dtype)
+        kd_scale = jnp.ones((cfg.frame_skip,), qpos.dtype)
+
+    def sub(carry, i):
+        qp, qv = carry
+        # action_v=1: PD target = next expert pose (±π-wrapped to current
+        # qpos) + policy offset (humanoid_im.py:1040-1048)
+        if cfg.action_v == 1:
+            base = qp[7:] + wrap_to_pi(target_base - qp[7:])
+        else:
+            base = jnp.zeros_like(qp[7:])
+        target_pos = base + ctrl_joint
+
+        if cfg.meta_pd:
+            kp = model.jkp * kp_scale[i]
+            kd = model.jkd * kd_scale[i]
+        elif cfg.meta_pd_joint:
+            kp = model.jkp * kp_scale[i]
+            kd = model.jkd * kd_scale[i]
+        else:
+            kp, kd = model.jkp, model.jkd
+
+        qfrc_applied = jnp.zeros(topo.nv, qp.dtype)
+        if cfg.residual_force and cfg.residual_force_mode == "implicit":
+            # rfc_implicit (humanoid_im.py:1136): scale, rotate the linear
+            # part into the world by the heading, clip.
+            vf = action[ndof:ndof + vf_dim] * (cfg.residual_force_scale * rfc_rate)
+            curr_root = quat_mul(qp[3:7], quat_inv(base_rot))
+            hq = heading_quat(curr_root)
+            vf = jnp.concatenate([quat_rotate(hq, vf[:3]), vf[3:]])
+            vf = jnp.clip(vf, -cfg.residual_force_lim, cfg.residual_force_lim)
+            qfrc_applied = qfrc_applied.at[:6].set(vf)
+
+        qp, qv, tau = E.substep(topo, model, qp, qv, target_pos, kp, kd,
+                                qfrc_applied)
+        return (qp, qv), None
+
+    (qpos, qvel), _ = jax.lax.scan(sub, (qpos, qvel),
+                                   jnp.arange(cfg.frame_skip))
+    return qpos, qvel
+
+
+# ---------------------------------------------------------------------------
+# Observations
+# ---------------------------------------------------------------------------
+
+
+def get_body_quat(qpos):
+    """Root quat + per-joint local quats, flat (nb*4,)
+    (humanoid_im.py:925 get_body_quat)."""
+    jq = quat_from_euler_zyx(qpos[7:].reshape(-1, 3))
+    return jnp.concatenate([qpos[3:7][None], jq], axis=0).reshape(-1)
+
+
+def obs_v2(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
+           expert_lib, shape_obs=None, delta_t: int = 0):
+    """get_full_obs_v2 (humanoid_im.py:419-503), feature-order exact."""
+    qpos = state.qpos
+    qvel = state.qvel
+    base_rot = jnp.asarray(cfg.base_rot, qpos.dtype)
+    tgt = expert_at(expert_lib, state.seq_idx,
+                    state.start_ind + state.cur_t + 1 + delta_t)
+
+    kin = E.fk(topo, model, qpos)
+    obs = []
+
+    # (the reference transforms the linear velocity twice — :425 then :451;
+    # replicated for feature parity)
+    qvel = qvel.at[:3].set(transform_vec(qvel[:3], qpos[3:7], cfg.obs_coord))
+    curr_root_quat = quat_mul(qpos[3:7], quat_inv(base_rot))
+    hq = heading_quat(curr_root_quat)
+    obs.append(hq)
+
+    target_qpos = tgt["qpos"]
+    target_quat = tgt["wbquat"].reshape(-1, 4)
+    target_jpos = tgt["wbpos"].reshape(-1, 3)
+    target_root_quat = quat_mul(target_qpos[3:7], quat_inv(base_rot))
+
+    qpos_dh = qpos.at[3:7].set(de_heading(curr_root_quat))
+    diff_qpos = target_qpos
+    diff_qpos = diff_qpos.at[2].add(-qpos_dh[2])
+    diff_qpos = diff_qpos.at[7:].add(-qpos_dh[7:])
+    diff_qpos = diff_qpos.at[3:7].set(
+        quat_mul(target_root_quat, quat_inv(curr_root_quat)))
+
+    obs += [target_qpos[2:], qpos_dh[2:], diff_qpos[2:]]
+
+    qvel = qvel.at[:3].set(transform_vec(qvel[:3], curr_root_quat, cfg.obs_coord))
+    obs.append(qvel if cfg.obs_vel == "full" else qvel[:6])
+
+    rel_h = wrap_to_pi(heading_angle(target_root_quat) - heading_angle(curr_root_quat))
+    obs.append(rel_h[None])
+
+    # NOTE: reference reads target_root_quat[:3] here (humanoid_im.py:466) —
+    # kept bit-for-bit for checkpoint parity.
+    rel_pos = target_root_quat[:3] - qpos_dh[:3]
+    rel_pos = transform_vec(rel_pos, curr_root_quat, cfg.obs_coord)
+    obs.append(rel_pos[:2])
+
+    curr_jpos = kin["xpos"]
+    r_jpos = curr_jpos - qpos_dh[None, :3]
+    r_jpos = transform_vec(r_jpos, curr_root_quat[None], cfg.obs_coord)
+    obs.append(r_jpos.reshape(-1))
+    diff_jpos = target_jpos - curr_jpos
+    diff_jpos = transform_vec(diff_jpos, curr_root_quat[None], cfg.obs_coord)
+    obs.append(diff_jpos.reshape(-1))
+
+    cur_quat = kin["xquat"]
+    obs.append(quat_mul(quat_inv(hq)[None], cur_quat).reshape(-1))
+    obs.append(quat_mul(quat_inv(cur_quat), target_quat).reshape(-1))
+
+    if cfg.has_shape and cfg.has_shape_obs and shape_obs is not None:
+        obs.append(shape_obs)
+    return jnp.concatenate(obs)
+
+
+def obs_dim(topo: Topology, cfg: EnvConfig, shape_obs_dim: int = 0) -> int:
+    nb, nq, nv = topo.nbody, topo.nq, topo.nv
+    if cfg.obs_v == 2:
+        d = 4 + 3 * (nq - 2) + (nv if cfg.obs_vel == "full" else 6) + 1 + 2 \
+            + 3 * nb * 2 + 4 * nb * 2
+        if cfg.has_shape and cfg.has_shape_obs:
+            d += shape_obs_dim
+        return d
+    raise NotImplementedError(f"obs_v={cfg.obs_v}")
+
+
+# ---------------------------------------------------------------------------
+# Reward: world_rfc_implicit (uhc/losses/reward_function.py:12)
+# ---------------------------------------------------------------------------
+
+
+def reward_world_rfc_implicit(topo: Topology, model: Model, cfg: EnvConfig,
+                              state: EnvState, action, expert_lib,
+                              jpos_diffw, body_diffw):
+    exp = expert_at(expert_lib, state.seq_idx, state.start_ind + state.cur_t)
+    kin = E.fk(topo, model, state.qpos)
+    dt = cfg.ctrl_dt
+
+    cur_ee = kin["xpos"][SMPL_EE_INDICES].reshape(-1)
+    cur_bquat = get_body_quat(state.qpos)
+    cur_bangvel = angvel_fd(state.prev_bquat, cur_bquat, dt)
+    cur_com = kin["xipos"][0]
+
+    pose_diff = multi_quat_norm(multi_quat_diff(cur_bquat, exp["bquat"]))
+    pose_diff = pose_diff * jnp.concatenate(
+        [jnp.ones(1, pose_diff.dtype), body_diffw])
+    pose_dist = jnp.linalg.norm(pose_diff)
+    pose_reward = jnp.exp(-cfg.k_p * pose_dist**2)
+
+    w = jpos_diffw[:, None]
+    vel_dist = jnp.linalg.norm(
+        (cur_bangvel.reshape(-1, 3) * w - exp["bangvel"].reshape(-1, 3) * w).reshape(-1))
+    vel_reward = jnp.exp(-cfg.k_v * vel_dist**2)
+
+    ee_dist = jnp.linalg.norm(cur_ee - exp["ee_wpos"])
+    ee_reward = jnp.exp(-cfg.k_e * ee_dist**2)
+
+    com_dist = jnp.linalg.norm(cur_com - exp["com"])
+    com_reward = jnp.exp(-cfg.k_c * com_dist**2)
+
+    ndof, vf_dim, _ = action_dims(topo, cfg)
+    if cfg.residual_force and vf_dim:
+        vf = action[ndof:ndof + vf_dim]
+        vf_reward = jnp.exp(-cfg.k_vf * jnp.sum(vf**2))
+    else:
+        vf_reward = jnp.zeros((), action.dtype)
+
+    ws = jnp.asarray([cfg.w_p, cfg.w_v, cfg.w_e, cfg.w_c, cfg.w_vf])
+    terms = jnp.stack([pose_reward, vel_reward, ee_reward, com_reward, vf_reward])
+    reward = jnp.sum(ws * terms) / jnp.sum(ws)
+    return reward, terms
+
+
+# ---------------------------------------------------------------------------
+# Termination + step + reset
+# ---------------------------------------------------------------------------
+
+
+def calc_body_diff(topo: Topology, model: Model, state: EnvState, expert_lib,
+                   jpos_diffw):
+    """Weighted mean joint-position distance (humanoid_im.py:1408)."""
+    exp = expert_at(expert_lib, state.seq_idx, state.start_ind + state.cur_t)
+    kin = E.fk(topo, model, state.qpos)
+    diff = (kin["xpos"] - exp["wbpos"].reshape(-1, 3)) * jpos_diffw[:, None]
+    per_body = jnp.linalg.norm(diff, axis=1)
+    mask = (jpos_diffw > 0).astype(per_body.dtype)
+    return jnp.sum(per_body * mask) / jnp.sum(mask)
+
+
+def env_step(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
+             action, expert_lib, jpos_diffw, body_diffw, rfc_rate=1.0,
+             train: bool = True):
+    """One 30 Hz control step (humanoid_im.py:1192). Returns
+    (state', obs, reward, reward_terms, done, info-dict)."""
+    prev_bquat = get_body_quat(state.qpos)
+    tgt = expert_at(expert_lib, state.seq_idx,
+                    state.start_ind + state.cur_t + 1)
+    qpos, qvel = do_simulation(topo, model, cfg, state.qpos, state.qvel,
+                               action, tgt["qpos"][7:], rfc_rate)
+    cur_t = state.cur_t + 1
+    state = dataclasses.replace(state, qpos=qpos, qvel=qvel, cur_t=cur_t,
+                                prev_bquat=prev_bquat)
+
+    # episode window: reference slices the expert to
+    # [fr_start, min(fr_start+t_max, len)) (dataset_amass_single.py:239) and
+    # the env terminates at the window end; here the full sequence stays
+    # resident and the window is arithmetic on (start_ind, t_max).
+    length = expert_lib["len"][state.seq_idx]
+    wlen = jnp.minimum(length - state.start_ind,
+                       jnp.asarray(cfg.t_max if cfg.t_max > 0 else 10**9,
+                                   jnp.int32))
+    body_diff = calc_body_diff(topo, model, state, expert_lib, jpos_diffw)
+    thresh = cfg.body_diff_thresh if train else cfg.body_diff_thresh_test
+    if cfg.env_term_body == "body":
+        fail = body_diff > thresh
+    elif cfg.env_term_body == "root":
+        fail = state.qpos[2] < expert_lib["height_lb"][state.seq_idx] - 0.1
+    else:  # "Head"
+        kin = E.fk(topo, model, state.qpos)
+        fail = kin["xpos"][13, 2] < expert_lib["head_height_lb"][state.seq_idx] - 0.1
+    # numerical blow-up counts as failure (the reference catches MuJoCo
+    # exceptions, humanoid_im.py:1207-1211)
+    blown = ~jnp.all(jnp.isfinite(qpos)) | (jnp.max(jnp.abs(qvel)) > 1e4)
+    fail = fail | blown
+
+    end = (cur_t >= cfg.env_episode_len) | \
+          (cur_t >= wlen + cfg.env_expert_trail_steps - 1)
+    done = fail | end
+    percent = cur_t.astype(qpos.dtype) / jnp.maximum(wlen - 1, 1).astype(qpos.dtype)
+
+    state = dataclasses.replace(state, done=done, fail=fail, end=end,
+                                percent=percent)
+    reward, terms = reward_world_rfc_implicit(
+        topo, model, cfg, state, action, expert_lib, jpos_diffw, body_diffw)
+    obs = obs_v2(topo, model, cfg, state, expert_lib)
+    return state, obs, reward, terms, done
+
+
+def match_heading_and_pos(qpos_1, qpos_2, base_rot):
+    """Align qpos_2's heading+xy to qpos_1 (humanoid_im.py:1312)."""
+    base_rot = jnp.asarray(base_rot, qpos_1.dtype)
+    q1 = quat_mul(qpos_1[3:7], quat_inv(base_rot))
+    heading_1 = heading_quat(q1)
+    new_quat = quat_mul(heading_1, de_heading(qpos_2[3:7]))
+    out = qpos_2.at[3:7].set(new_quat)
+    out = out.at[:2].set(qpos_1[:2])
+    return out
+
+
+def env_reset(topo: Topology, model: Model, cfg: EnvConfig, rng, seq_idx,
+              expert_lib, neutral_qpos, neutral_qvel, start_ind=None,
+              train: bool = True):
+    """reset_model (humanoid_im.py:1245): expert window-start frame (+ joint
+    noise in train), or — reactive_v=1 with prob reactive_rate — the
+    standing-neutral pose heading-matched to the expert (fall-recovery
+    curriculum). In train mode the window start is sampled uniformly in
+    [0, len - t_min) as in dataset_amass_single.py:233."""
+    rng, k1, k2, k3 = jax.random.split(rng, 4)
+    length = expert_lib["len"][seq_idx]
+    if start_ind is None:
+        if train:
+            hi = jnp.maximum(length - cfg.t_min, 1)
+            start_ind = jax.random.randint(k3, (), 0, hi)
+        else:
+            start_ind = jnp.zeros((), jnp.int32)
+    exp0 = expert_at(expert_lib, seq_idx, start_ind)
+    init_qpos = exp0["qpos"]
+    init_qvel = exp0["qvel"]
+    if train and cfg.env_init_noise > 0:
+        noise = cfg.env_init_noise * jax.random.normal(
+            k1, init_qpos[7:].shape, init_qpos.dtype)
+        init_qpos = init_qpos.at[7:].add(noise)
+    if cfg.reactive_v == 1 and train:
+        use_neutral = jax.random.bernoulli(k2, cfg.reactive_rate)
+        neutral = match_heading_and_pos(init_qpos, neutral_qpos, cfg.base_rot)
+        init_qpos = jnp.where(use_neutral, neutral, init_qpos)
+        init_qvel = jnp.where(use_neutral, neutral_qvel, init_qvel)
+    zero = jnp.zeros((), jnp.int32)
+    state = EnvState(
+        qpos=init_qpos, qvel=init_qvel, cur_t=zero,
+        start_ind=jnp.asarray(start_ind, jnp.int32),
+        seq_idx=jnp.asarray(seq_idx, jnp.int32),
+        prev_bquat=get_body_quat(init_qpos),
+        done=jnp.zeros((), bool), fail=jnp.zeros((), bool),
+        end=jnp.zeros((), bool), percent=jnp.zeros((), init_qpos.dtype),
+        rng=rng,
+    )
+    return state

@@ -1,0 +1,214 @@
+"""Copycat training agent — the AgentCopycat twin, one SPMD program.
+
+Reference training epoch (uhc/agents/agent_copycat.py:326 optimize_policy):
+fork 30-40 CPU samplers -> 50k steps -> CPU->GPU transfer -> GAE -> PPO.
+Here an epoch is a single jitted function: `lax.scan` rollout over B
+humanoids × T control steps (physics, obs, reward, auto-reset all fused),
+GAE, and the full PPO optimization — no process pools, no host transfers
+except logging scalars and the hard-mining telemetry.
+
+Multi-chip: pass a `jax.sharding.Mesh`; env state/rollout tensors are
+sharded along the batch ("data") axis, parameters are replicated, and XLA
+inserts the gradient all-reduces (the reference's multiprocessing.Queue has
+no equivalent here — SURVEY.md §2.9).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from uhc_tpu.config.config import Config
+from uhc_tpu.data.dataset import (build_expert_library, load_motion_file,
+                                  load_neutral)
+from uhc_tpu.data.sampling import FailureFrequencySampler
+from uhc_tpu.envs import humanoid_im as H
+from uhc_tpu.learn import nets, running_norm as RN
+from uhc_tpu.learn.gae import estimate_advantages
+from uhc_tpu.learn.ppo import PPOState, make_ppo_update
+from uhc_tpu.learn.rollout import init_env_states, make_rollout_fn
+from uhc_tpu.physics.model import model_to_dtype
+from uhc_tpu.smpl.constants import default_diff_weights
+from uhc_tpu.smpl.mjcf import load_mjcf_humanoid
+
+NEUTRAL_XML = "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+
+
+class CopycatAgent:
+    def __init__(self, cfg: Config, motion_file: str,
+                 num_envs: int = 1024, horizon: int = 48,
+                 mesh: Optional[Mesh] = None, seed: Optional[int] = None,
+                 model_xml: str = NEUTRAL_XML, max_seq_len: Optional[int] = None,
+                 results_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.env_cfg = cfg.env
+        self.num_envs = num_envs
+        self.horizon = horizon
+        self.mesh = mesh
+        self.results_dir = results_dir or os.path.join("results", cfg.cfg_id)
+        os.makedirs(os.path.join(self.results_dir, "models"), exist_ok=True)
+
+        self.topo, model = load_mjcf_humanoid(model_xml)
+        self.model = model_to_dtype(model, jnp.float32)
+
+        seqs = load_motion_file(motion_file)
+        self.expert_lib, self.seq_keys = build_expert_library(
+            self.topo, self.model, seqs, max_len=max_seq_len)
+        nq, nv = self.topo.nq, self.topo.nv
+        neutral_qpos, neutral_qvel = load_neutral()
+        jpw, bdw = default_diff_weights()
+        self.aux = {
+            "neutral_qpos": neutral_qpos, "neutral_qvel": neutral_qvel,
+            "jpos_diffw": jnp.asarray(jpw), "body_diffw": jnp.asarray(bdw),
+        }
+
+        ndof, vf_dim, meta_dim = H.action_dims(self.topo, self.env_cfg)
+        self.action_dim = ndof + vf_dim + meta_dim
+        self.obs_dim = H.obs_dim(self.topo, self.env_cfg)
+
+        key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        key, kp, kv, ke = jax.random.split(key, 4)
+        policy_params, self.policy_mean_fn = nets.make_policy(
+            cfg, self.obs_dim, self.action_dim, kp)
+        self.log_std = policy_params.pop("log_std")
+        value_params = nets.value_init(kv, self.obs_dim, cfg.value_hsize)
+        self.value_fn = lambda p, x: nets.value_apply(p, x, cfg.value_htype)
+
+        self.policy_opt = optax.adam(cfg.policy_lr)
+        self.value_opt = optax.adam(cfg.value_lr)
+        self.ppo_state = PPOState(
+            policy_params, value_params,
+            self.policy_opt.init(policy_params),
+            self.value_opt.init(value_params))
+
+        self.rs = RN.init(self.obs_dim)
+        self.rng = key
+        self.env_states = init_env_states(
+            self.topo, self.env_cfg, self.model, self.expert_lib, self.aux,
+            ke, num_envs)
+
+        self.sampler = FailureFrequencySampler(
+            len(self.seq_keys), cfg.sampling_temp, cfg.sampling_freq)
+
+        self._rollout = make_rollout_fn(self.topo, self.env_cfg,
+                                        self.policy_mean_fn, horizon)
+        self._ppo_update = make_ppo_update(
+            self.policy_mean_fn, self.value_fn, self.policy_opt,
+            self.value_opt, cfg.clip_epsilon, cfg.num_optim_epoch,
+            min(cfg.mini_batch_size, num_envs * horizon),
+            fix_std=cfg.fix_std)
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0, 1, 2, 3))
+        self.epoch = 0
+
+        if mesh is not None:
+            self._shard_env_state()
+
+    # -- sharding ----------------------------------------------------------
+    def _shard_env_state(self):
+        sh = NamedSharding(self.mesh, P("data"))
+        self.env_states = jax.tree.map(
+            lambda x: jax.device_put(x, sh), self.env_states)
+
+    # -- one full PPO epoch on device ---------------------------------------
+    def _train_step_impl(self, ppo_state, log_std, rs, env_states, rng,
+                         noise_rate, rfc_rate, seq_logits):
+        rng, k_roll, k_ppo = jax.random.split(rng, 3)
+        env_states, rs, traj, last_obs = self._rollout(
+            self.model, self.expert_lib, self.aux, ppo_state.policy_params,
+            log_std, rs, env_states, k_roll, noise_rate, rfc_rate, seq_logits)
+
+        values = self.value_fn(ppo_state.value_params,
+                               traj.states.reshape(-1, self.obs_dim))
+        values = values.reshape(self.horizon, -1)
+        bootstrap = self.value_fn(ppo_state.value_params, last_obs)
+        adv, ret = estimate_advantages(traj.rewards, traj.masks, values,
+                                       bootstrap, self.cfg.gamma, self.cfg.tau)
+        batch = {
+            "states": traj.states.reshape(-1, self.obs_dim),
+            "actions": traj.actions.reshape(-1, self.action_dim),
+            "advantages": adv.reshape(-1),
+            "returns": ret.reshape(-1),
+            "exps": traj.exps.reshape(-1),
+        }
+        ppo_state, log_std, ppo_stats = self._ppo_update(
+            ppo_state, log_std, batch, k_ppo)
+
+        done_f = traj.dones.astype(jnp.float32)
+        n_done = jnp.maximum(jnp.sum(done_f), 1.0)
+        stats = {
+            "reward_mean": jnp.mean(traj.rewards),
+            "reward_terms": jnp.mean(traj.reward_terms, axis=(0, 1)),
+            "episodes": jnp.sum(done_f),
+            "avg_percent": jnp.sum(traj.percents * done_f) / n_done,
+            "success_rate": jnp.sum((traj.percents >= 1.0) * done_f) / n_done,
+            "avg_eps_len": self.horizon * self.num_envs / n_done,
+            **ppo_stats,
+        }
+        telemetry = (traj.seq_idx, traj.dones, traj.percents)
+        return ppo_state, log_std, rs, env_states, rng, stats, telemetry
+
+    def optimize_policy(self, epoch: int):
+        """One epoch: adaptive schedules + rollout + PPO + mining telemetry
+        (agent_copycat.py:326 optimize_policy / :279 per_epoch_update)."""
+        t0 = time.time()
+        noise_rate, log_std_sched, _lr = self.cfg.adaptive_params(epoch)
+        if self.cfg.fix_std:
+            self.log_std = jnp.full_like(self.log_std, log_std_sched)
+        rfc_rate = 1.0
+        if self.env_cfg.rfc_decay:
+            rfc_rate = max(0.0, 1.0 - epoch / 10000.0)
+        seq_logits = jnp.asarray(self.sampler.logits())
+
+        (self.ppo_state, self.log_std, self.rs, self.env_states, self.rng,
+         stats, telemetry) = self._train_step(
+            self.ppo_state, self.log_std, self.rs, self.env_states, self.rng,
+            jnp.asarray(noise_rate, jnp.float32),
+            jnp.asarray(rfc_rate, jnp.float32), seq_logits)
+
+        stats = jax.device_get(stats)
+        self.sampler.update_from_rollout(*jax.device_get(telemetry))
+        stats["T_total"] = time.time() - t0
+        stats["steps"] = self.num_envs * self.horizon
+        stats["steps_per_sec"] = stats["steps"] / stats["T_total"]
+        self.epoch = epoch
+        return stats
+
+    # -- checkpointing (pickle, like the reference iter_%04d.p) -------------
+    def checkpoint_path(self, epoch):
+        return os.path.join(self.results_dir, "models", f"iter_{epoch:04d}.p")
+
+    def save_checkpoint(self, epoch: int):
+        state = {
+            "policy_params": jax.device_get(self.ppo_state.policy_params),
+            "value_params": jax.device_get(self.ppo_state.value_params),
+            "log_std": jax.device_get(self.log_std),
+            "running_stats": jax.device_get(dataclasses.asdict(self.rs)),
+            "sampler": self.sampler.state_dict(),
+            "epoch": epoch,
+        }
+        with open(self.checkpoint_path(epoch), "wb") as f:
+            pickle.dump(state, f)
+
+    def load_checkpoint(self, epoch: int):
+        with open(self.checkpoint_path(epoch), "rb") as f:
+            state = pickle.load(f)
+        self.ppo_state = PPOState(
+            jax.tree.map(jnp.asarray, state["policy_params"]),
+            jax.tree.map(jnp.asarray, state["value_params"]),
+            self.policy_opt.init(state["policy_params"]),
+            self.value_opt.init(state["value_params"]))
+        self.log_std = jnp.asarray(state["log_std"])
+        rs = state["running_stats"]
+        self.rs = RN.RunningStats(jnp.asarray(rs["n"]), jnp.asarray(rs["mean"]),
+                                  jnp.asarray(rs["m2"]))
+        self.sampler.load_state_dict(state["sampler"])
+        self.epoch = state["epoch"]

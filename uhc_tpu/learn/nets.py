@@ -1,0 +1,161 @@
+"""Policy / value networks as plain JAX pytrees.
+
+Mirrors the reference model zoo needed for copycat training:
+* MLP trunk (uhc/khrylib/models/mlp.py:5) with tanh/relu/sigmoid/gelu,
+* PolicyGaussian: trunk -> mean head (0.1-scaled init), state-independent
+  learnable log_std (khrylib/rl/core/policy_gaussian.py:8),
+* PolicyMCP: multiplicative compositional policy — num_primitive trunks with
+  action heads + softmax composer over primitives, shared log_std
+  (uhc/models/policy_mcp.py:9),
+* Value: trunk -> scalar head (khrylib/rl/core/critic.py:5).
+
+Parameters are nested dicts; apply functions are pure and batched (MXU-sized
+matmuls when the env batch is large, which is the whole point on TPU).
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+ACTIVATIONS = {
+    "tanh": jnp.tanh,
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "gelu": jax.nn.gelu,
+}
+
+
+def _linear_init(key, fan_in, fan_out, scale=None, dtype=jnp.float32):
+    # torch nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    k1, k2 = jax.random.split(key)
+    lim = 1.0 / jnp.sqrt(fan_in)
+    w = jax.random.uniform(k1, (fan_in, fan_out), dtype, -lim, lim)
+    b = jax.random.uniform(k2, (fan_out,), dtype, -lim, lim)
+    if scale is not None:
+        w = w * scale
+        b = b * 0.0
+    return {"w": w, "b": b}
+
+
+def mlp_init(key, in_dim: int, hidden: Sequence[int], dtype=jnp.float32):
+    params = []
+    last = in_dim
+    for h in hidden:
+        key, sub = jax.random.split(key)
+        params.append(_linear_init(sub, last, h, dtype=dtype))
+        last = h
+    return params
+
+
+def mlp_apply(params, x, activation: str):
+    act = ACTIVATIONS[activation]
+    for layer in params:
+        x = act(x @ layer["w"] + layer["b"])
+    return x
+
+
+# -- Gaussian policy ---------------------------------------------------------
+
+
+def policy_gaussian_init(key, state_dim, action_dim, hidden, log_std,
+                         dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "trunk": mlp_init(k1, state_dim, hidden, dtype),
+        "mean": _linear_init(k2, hidden[-1], action_dim, scale=0.1, dtype=dtype),
+        "log_std": jnp.full((action_dim,), log_std, dtype),
+    }
+
+
+def policy_gaussian_mean(params, x, activation):
+    h = mlp_apply(params["trunk"], x, activation)
+    return h @ params["mean"]["w"] + params["mean"]["b"]
+
+
+# -- MCP policy --------------------------------------------------------------
+
+
+def policy_mcp_init(key, state_dim, action_dim, hidden, composer_hidden,
+                    num_primitive, log_std, dtype=jnp.float32):
+    keys = jax.random.split(key, num_primitive + 2)
+    prims = []
+    for i in range(num_primitive):
+        ka, kb = jax.random.split(keys[i])
+        prims.append({
+            "trunk": mlp_init(ka, state_dim, hidden, dtype),
+            "head": _linear_init(kb, hidden[-1], action_dim, scale=0.1, dtype=dtype),
+        })
+    # stack primitives on a leading axis so the forward pass is one batched
+    # matmul over primitives instead of a python loop
+    prims = jax.tree.map(lambda *xs: jnp.stack(xs), *prims)
+    kc, kd = jax.random.split(keys[-1])
+    composer = {
+        "trunk": mlp_init(kc, state_dim, list(composer_hidden) + [num_primitive], dtype),
+    }
+    return {"prims": prims, "composer": composer,
+            "log_std": jnp.full((action_dim,), log_std, dtype)}
+
+
+def policy_mcp_mean(params, x, activation):
+    def one_prim(p):
+        h = mlp_apply(p["trunk"], x, activation)
+        return h @ p["head"]["w"] + p["head"]["b"]
+
+    means = jax.vmap(one_prim)(params["prims"])       # (P, B, A)
+    # composer MLP ends in a num_primitive layer then softmax
+    # (policy_mcp.py:26: MLP(...composer_dim+[P]) -> Softmax)
+    w = mlp_apply(params["composer"]["trunk"], x, activation)
+    w = jax.nn.softmax(w, axis=-1)                     # (B, P)
+    return jnp.einsum("bp,pba->ba", w, means)
+
+
+# -- Policy distribution helpers ---------------------------------------------
+
+
+def gaussian_log_prob(mean, log_std, action):
+    var = jnp.exp(2.0 * log_std)
+    lp = -((action - mean) ** 2) / (2 * var) - 0.5 * jnp.log(2 * jnp.pi) - log_std
+    return jnp.sum(lp, axis=-1)
+
+
+def gaussian_sample(key, mean, log_std):
+    return mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape, mean.dtype)
+
+
+def gaussian_kl(log_std):
+    """KL of the (detached) dist against itself — matches DiagGaussian.kl()
+    being 0 at evaluation point; kept for API parity."""
+    return jnp.zeros(())
+
+
+# -- Value -------------------------------------------------------------------
+
+
+def value_init(key, state_dim, hidden, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "trunk": mlp_init(k1, state_dim, hidden, dtype),
+        "head": _linear_init(k2, hidden[-1], 1, scale=0.1, dtype=dtype),
+    }
+
+
+def value_apply(params, x, activation):
+    h = mlp_apply(params["trunk"], x, activation)
+    return (h @ params["head"]["w"] + params["head"]["b"])[..., 0]
+
+
+def make_policy(cfg, state_dim, action_dim, key, dtype=jnp.float32):
+    """Factory: returns (params, mean_fn(params, obs) -> action mean).
+    Registry twin of uhc/models/__init__.py policy_dict."""
+    if cfg.actor_type == "mcp":
+        params = policy_mcp_init(key, state_dim, action_dim, cfg.policy_hsize,
+                                 cfg.composer_dim, cfg.num_primitive,
+                                 cfg.log_std, dtype)
+        fn = lambda p, x: policy_mcp_mean(p, x, cfg.policy_htype)
+    else:
+        params = policy_gaussian_init(key, state_dim, action_dim,
+                                      cfg.policy_hsize, cfg.log_std, dtype)
+        fn = lambda p, x: policy_gaussian_mean(p, x, cfg.policy_htype)
+    return params, fn

@@ -211,14 +211,21 @@ def contact_qfrc(topo: Topology, model: Model, kin, vel, Jlin, Jang):
     vp = vel["vel"][cb] + jnp.cross(vel["omega"][cb], wp - xpos[cb])
     depth = wp[:, 2]
     active = depth < 0.0
+    # spring depth is capped: deep initial interpenetration produces a
+    # bounded restoring force instead of a launch (MuJoCo's constraint
+    # solver bounds forces via solimp; this is the penalty analogue)
+    pen = jnp.clip(-depth, 0.0, model.contact_depth_cap)
     fn = jnp.where(
         active,
-        jnp.maximum(-model.contact_stiffness * depth
+        jnp.maximum(model.contact_stiffness * pen
                     - model.contact_damping * vp[:, 2], 0.0),
         0.0,
     )
     vt = vp[:, 0:2]
-    vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=1) + 1e-6)
+    # regularized Coulomb friction; vreg keeps the tangential stiffness
+    # within the explicit 450 Hz stability bound
+    vt_norm = jnp.maximum(
+        jnp.sqrt(jnp.sum(vt * vt, axis=1) + 1e-12), model.contact_vreg)
     ft = -model.friction * fn[:, None] * vt / vt_norm[:, None]
     force = jnp.concatenate([ft, fn[:, None]], axis=1)   # (P,3) world
     # reduce to per-body wrench about the body COM

@@ -101,6 +101,10 @@ class Model:
     friction: Any        # tangential friction coefficient
     contact_stiffness: Any
     contact_damping: Any
+    contact_depth_cap: Any   # max spring depth (bounded restoration force —
+                             # the penalty analogue of MuJoCo solimp limiting)
+    contact_vreg: Any        # friction velocity regularization (explicit-
+                             # integration stability bound at 450 Hz)
     gravity: Any        # (3,)
     dt: Any             # physics timestep (1/450)
 

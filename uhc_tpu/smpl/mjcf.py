@@ -36,6 +36,8 @@ def load_mjcf_humanoid(
     foot_contact_points: int = 16,
     contact_stiffness: float = 30000.0,
     contact_damping: float = 600.0,
+    contact_depth_cap: float = 0.01,
+    contact_vreg: float = 0.05,
     friction: float = 1.0,
     armature_hinge: float = 0.01,
 ):
@@ -149,6 +151,8 @@ def load_mjcf_humanoid(
         friction=np.float32(friction),
         contact_stiffness=np.float32(contact_stiffness),
         contact_damping=np.float32(contact_damping),
+        contact_depth_cap=np.float32(contact_depth_cap),
+        contact_vreg=np.float32(contact_vreg),
         gravity=np.array([0.0, 0.0, -9.81], np.float32),
         dt=np.float32(1.0 / 450.0),
     )

@@ -224,14 +224,99 @@ def obs_v2(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
     return jnp.concatenate(obs)
 
 
+def obs_v1(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
+           expert_lib, shape_obs=None, delta_t: int = 0):
+    """get_full_obs_v1 (humanoid_im.py:323-417) — obs_v2 plus body-COM
+    target/diff blocks (the release uhc_implicit config uses obs_v=1)."""
+    qpos = state.qpos
+    qvel = state.qvel
+    base_rot = jnp.asarray(cfg.base_rot, qpos.dtype)
+    tgt = expert_at(expert_lib, state.seq_idx,
+                    state.start_ind + state.cur_t + 1 + delta_t)
+
+    kin = E.fk(topo, model, qpos)
+    obs = []
+
+    qvel = qvel.at[:3].set(transform_vec(qvel[:3], qpos[3:7], cfg.obs_coord))
+    curr_root_quat = quat_mul(qpos[3:7], quat_inv(base_rot))
+    hq = heading_quat(curr_root_quat)
+    obs.append(hq)
+
+    target_qpos = tgt["qpos"]
+    target_quat = tgt["wbquat"].reshape(-1, 4)
+    target_jpos = tgt["wbpos"].reshape(-1, 3)
+    target_com = tgt["body_com"].reshape(-1, 3)
+    target_root_quat = quat_mul(target_qpos[3:7], quat_inv(base_rot))
+
+    qpos_dh = qpos.at[3:7].set(de_heading(curr_root_quat))
+    diff_qpos = target_qpos
+    diff_qpos = diff_qpos.at[2].add(-qpos_dh[2])
+    diff_qpos = diff_qpos.at[7:].add(-qpos_dh[7:])
+    diff_qpos = diff_qpos.at[3:7].set(
+        quat_mul(target_root_quat, quat_inv(curr_root_quat)))
+    obs += [target_qpos[2:], qpos_dh[2:], diff_qpos[2:]]
+
+    qvel = qvel.at[:3].set(transform_vec(qvel[:3], curr_root_quat, cfg.obs_coord))
+    obs.append(qvel if cfg.obs_vel == "full" else qvel[:6])
+
+    rel_h = wrap_to_pi(heading_angle(target_root_quat) - heading_angle(curr_root_quat))
+    obs.append(rel_h[None])
+    # the same target_root_quat[:3] read as v2 (humanoid_im.py:368)
+    rel_pos = target_root_quat[:3] - qpos_dh[:3]
+    rel_pos = transform_vec(rel_pos, curr_root_quat, cfg.obs_coord)
+    obs.append(rel_pos[:2])
+
+    curr_jpos = kin["xpos"]
+    r_jpos = transform_vec(curr_jpos - qpos_dh[None, :3],
+                           curr_root_quat[None], cfg.obs_coord)
+    obs.append(r_jpos.reshape(-1))
+    diff_jpos = transform_vec(target_jpos - curr_jpos, curr_root_quat[None],
+                              cfg.obs_coord)
+    obs.append(diff_jpos.reshape(-1))
+
+    curr_com = kin["xipos"]
+    r_com = transform_vec(curr_com - qpos_dh[None, :3], curr_root_quat[None],
+                          cfg.obs_coord)
+    obs.append(r_com.reshape(-1))
+    diff_com = transform_vec(target_com - curr_com, curr_root_quat[None],
+                             cfg.obs_coord)
+    obs.append(diff_com.reshape(-1))
+
+    cur_quat = kin["xquat"]
+    obs.append(quat_mul(quat_inv(hq)[None], cur_quat).reshape(-1))
+    obs.append(quat_mul(quat_inv(cur_quat), target_quat).reshape(-1))
+
+    if cfg.has_shape and cfg.has_shape_obs and shape_obs is not None:
+        obs.append(shape_obs)
+    return jnp.concatenate(obs)
+
+
+def get_obs(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
+            expert_lib, shape_obs=None):
+    """Observation dispatch (humanoid_im.py:269 get_obs)."""
+    if cfg.obs_v == 1:
+        return obs_v1(topo, model, cfg, state, expert_lib, shape_obs)
+    if cfg.obs_v == 2:
+        return obs_v2(topo, model, cfg, state, expert_lib, shape_obs)
+    if cfg.obs_v == 3:
+        # stacked future frames (humanoid_im.py:758): fut_frames × skip
+        return jnp.concatenate([
+            obs_v2(topo, model, cfg, state, expert_lib, shape_obs, delta_t=i)
+            for i in range(0, 10 * 10, 10)])
+    raise NotImplementedError(f"obs_v={cfg.obs_v}")
+
+
 def obs_dim(topo: Topology, cfg: EnvConfig, shape_obs_dim: int = 0) -> int:
     nb, nq, nv = topo.nbody, topo.nq, topo.nv
+    vel = nv if cfg.obs_vel == "full" else 6
+    shape = shape_obs_dim if (cfg.has_shape and cfg.has_shape_obs) else 0
+    if cfg.obs_v == 1:
+        return 4 + 3 * (nq - 2) + vel + 1 + 2 + 3 * nb * 4 + 4 * nb * 2 + shape
     if cfg.obs_v == 2:
-        d = 4 + 3 * (nq - 2) + (nv if cfg.obs_vel == "full" else 6) + 1 + 2 \
-            + 3 * nb * 2 + 4 * nb * 2
-        if cfg.has_shape and cfg.has_shape_obs:
-            d += shape_obs_dim
-        return d
+        return 4 + 3 * (nq - 2) + vel + 1 + 2 + 3 * nb * 2 + 4 * nb * 2 + shape
+    if cfg.obs_v == 3:
+        return 10 * obs_dim(topo, dataclasses.replace(cfg, obs_v=2),
+                            shape_obs_dim)
     raise NotImplementedError(f"obs_v={cfg.obs_v}")
 
 
@@ -343,7 +428,7 @@ def env_step(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
                                 percent=percent)
     reward, terms = reward_world_rfc_implicit(
         topo, model, cfg, state, action, expert_lib, jpos_diffw, body_diffw)
-    obs = obs_v2(topo, model, cfg, state, expert_lib)
+    obs = get_obs(topo, model, cfg, state, expert_lib)
     return state, obs, reward, terms, done
 
 

@@ -41,7 +41,7 @@ def make_eval_fn(topo: Topology, cfg: EnvConfig, policy_mean_fn,
         def body(carry, t):
             state, fail_safe = carry
             active = t < (length - 1)
-            obs = H.obs_v2(topo, model, eval_cfg, state, expert_lib)
+            obs = H.get_obs(topo, model, eval_cfg, state, expert_lib)
             nobs = RN.normalize(rs, obs, clip_obs)
             action = policy_mean_fn(params, nobs[None])[0]
             state2, _, _, _, _ = H.env_step(

@@ -78,7 +78,7 @@ def make_rollout_fn(
                     jnp.reshape(state.done, (B,) + (1,) * (o.ndim - 1)), n, o),
                 new_states, state)
 
-            obs = jax.vmap(lambda s: H.obs_v2(topo, model, cfg, s, expert_lib))(state)
+            obs = jax.vmap(lambda s: H.get_obs(topo, model, cfg, s, expert_lib))(state)
             rs = RN.update_batch(rs, obs)
             nobs = RN.normalize(rs, obs, clip_obs)
 
@@ -102,7 +102,7 @@ def make_rollout_fn(
         (env_state, rs, rng), traj = jax.lax.scan(
             step, (env_state, rs, rng), None, length=horizon)
         # bootstrap observation for truncated episodes
-        last_obs = jax.vmap(lambda s: H.obs_v2(topo, model, cfg, s, expert_lib))(env_state)
+        last_obs = jax.vmap(lambda s: H.get_obs(topo, model, cfg, s, expert_lib))(env_state)
         last_obs = RN.normalize(rs, last_obs, clip_obs)
         return env_state, rs, traj, last_obs
 

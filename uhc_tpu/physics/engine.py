@@ -49,7 +49,11 @@ from uhc_tpu.physics.model import Model, Topology
 
 
 def fk(topo: Topology, model: Model, qpos: jnp.ndarray):
-    """Forward kinematics of a single humanoid.
+    """Forward kinematics of a single humanoid, level-vectorized.
+
+    All per-joint trig/quaternion work is batched over the 23 joints first;
+    the only sequential dependency is the parent chain, walked by tree depth
+    (9 levels for SMPL) with all bodies of a level advancing in one step.
 
     Returns dict with xpos (nb,3), xquat (nb,4), xipos (nb,3 COM world),
     and the per-dof world axes (nv,3) / anchors (nv,3) needed by dynamics.
@@ -58,48 +62,47 @@ def fk(topo: Topology, model: Model, qpos: jnp.ndarray):
     dtype = qpos.dtype
     root_q = quat_normalize(qpos[3:7])
 
-    xpos = [qpos[0:3]]
-    xquat = [root_q]
-    axes = [None] * (6 + 3 * (nb - 1))
-    eye = jnp.eye(3, dtype=dtype)
-    # free joint: 3 world-aligned linear dofs + 3 body-frame angular dofs
-    R0 = quat_to_mat(root_q)
-    for k in range(3):
-        axes[k] = eye[k]
-        axes[3 + k] = R0[:, k]
+    # vectorized per-joint partial quats: q_z, q_z⊗q_y, q_z⊗q_y⊗q_x
+    e = qpos[7:].reshape(nb - 1, 3) * 0.5
+    cz, sz = jnp.cos(e[:, 0]), jnp.sin(e[:, 0])
+    cy, sy = jnp.cos(e[:, 1]), jnp.sin(e[:, 1])
+    cx, sx = jnp.cos(e[:, 2]), jnp.sin(e[:, 2])
+    zero = jnp.zeros_like(cz)
+    q_z = jnp.stack([cz, zero, zero, sz], 1)
+    q_y = jnp.stack([cy, zero, sy, zero], 1)
+    q_x = jnp.stack([cx, sx, zero, zero], 1)
+    q_zy = quat_mul(q_z, q_y)
+    q_local = quat_mul(q_zy, q_x)
 
-    zhat, yhat, xhat = eye[2], eye[1], eye[0]
-    for i in range(1, nb):
-        p = topo.parents[i]
-        e = qpos[7 + 3 * (i - 1): 10 + 3 * (i - 1)]
-        qp = xquat[p]
-        pos = xpos[p] + quat_rotate(qp, model.body_pos[i])
-        hz, hy, hx = e[0] * 0.5, e[1] * 0.5, e[2] * 0.5
-        zero = jnp.zeros((), dtype)
-        q_z = jnp.stack([jnp.cos(hz), zero, zero, jnp.sin(hz)])
-        q_y = jnp.stack([jnp.cos(hy), zero, jnp.sin(hy), zero])
-        q_x = jnp.stack([jnp.cos(hx), jnp.sin(hx), zero, zero])
-        q_pz = quat_mul(qp, q_z)
-        q_pzy = quat_mul(q_pz, q_y)
-        qi = quat_mul(q_pzy, q_x)
-        j = 6 + 3 * (i - 1)
-        axes[j] = quat_rotate(qp, zhat)
-        axes[j + 1] = quat_rotate(q_pz, yhat)
-        axes[j + 2] = quat_rotate(q_pzy, xhat)
-        xpos.append(pos)
-        xquat.append(qi)
+    xpos = jnp.zeros((nb, 3), dtype).at[0].set(qpos[0:3])
+    xquat = jnp.zeros((nb, 4), dtype).at[0].set(root_q)
+    for idx, par in topo.levels():
+        qp = xquat[par]
+        pos = xpos[par] + quat_rotate(qp, model.body_pos[idx])
+        qi = quat_mul(qp, q_local[idx - 1])
+        xpos = xpos.at[idx].set(pos)
+        xquat = xquat.at[idx].set(qi)
 
-    xpos = jnp.stack(xpos)
-    xquat = jnp.stack(xquat)
     xipos = xpos + quat_rotate(xquat, model.body_ipos)
-    axes = jnp.stack(axes)  # (nv, 3)
-    dof_body = topo.dof_body()
-    anchors = xpos[dof_body]  # (nv, 3)
+
+    # per-dof world axes, vectorized over all joints:
+    # a_z in the parent frame, a_y after q_z, a_x after q_z⊗q_y
+    eye = jnp.eye(3, dtype=dtype)
+    parents = jnp.asarray(topo.parents[1:])
+    qp_all = xquat[parents]                       # (nb-1, 4)
+    a_z = quat_rotate(qp_all, eye[2])
+    a_y = quat_rotate(quat_mul(qp_all, q_z), eye[1])
+    a_x = quat_rotate(quat_mul(qp_all, q_zy), eye[0])
+    joint_axes = jnp.stack([a_z, a_y, a_x], axis=1).reshape(-1, 3)
+    R0 = quat_to_mat(root_q)
+    axes = jnp.concatenate([eye, R0.T, joint_axes], axis=0)  # (nv, 3)
+    anchors = xpos[topo.dof_body()]  # (nv, 3)
     return dict(xpos=xpos, xquat=xquat, xipos=xipos, axes=axes, anchors=anchors)
 
 
 def velocities(topo: Topology, kin, qvel):
-    """Propagate body angular/linear velocities and bias (q̈=0) accelerations.
+    """Propagate body angular/linear velocities and bias (q̈=0) accelerations,
+    level-vectorized over the tree.
 
     Exact treatment of the sequential z-y-x hinges: each axis is fixed in the
     frame accumulated so far, so its derivative is ω_sofar × axis.
@@ -108,34 +111,37 @@ def velocities(topo: Topology, kin, qvel):
     """
     nb = topo.nbody
     xpos, xipos, axes = kin["xpos"], kin["xipos"], kin["axes"]
-    omega = [None] * nb
-    v = [None] * nb
-    alpha = [None] * nb
-    a = [None] * nb
-    # root free joint: ω = R qvel[3:6] (body-local angular velocity), bias
-    # angular acceleration is identically zero (axes rotate with the body).
-    omega[0] = axes[3] * qvel[3] + axes[4] * qvel[4] + axes[5] * qvel[5]
-    v[0] = qvel[0:3]
-    alpha[0] = jnp.zeros(3, qvel.dtype)
-    a[0] = jnp.zeros(3, qvel.dtype)
-    for i in range(1, nb):
-        p = topo.parents[i]
-        j = 6 + 3 * (i - 1)
-        az, ay, ax = axes[j], axes[j + 1], axes[j + 2]
-        dz, dy, dx = qvel[j], qvel[j + 1], qvel[j + 2]
-        w0 = omega[p]
+    dtype = qvel.dtype
+
+    jaxes = axes[6:].reshape(nb - 1, 3, 3)          # per joint: (z, y, x) axes
+    jdq = qvel[6:].reshape(nb - 1, 3)
+
+    omega = jnp.zeros((nb, 3), dtype).at[0].set(
+        axes[3] * qvel[3] + axes[4] * qvel[4] + axes[5] * qvel[5])
+    v = jnp.zeros((nb, 3), dtype).at[0].set(qvel[0:3])
+    alpha = jnp.zeros((nb, 3), dtype)
+    a = jnp.zeros((nb, 3), dtype)
+
+    for idx, par in topo.levels():
+        az, ay, ax = (jaxes[idx - 1, 0], jaxes[idx - 1, 1], jaxes[idx - 1, 2])
+        dz = jdq[idx - 1, 0:1]
+        dy = jdq[idx - 1, 1:2]
+        dx = jdq[idx - 1, 2:3]
+        w0 = omega[par]
         w1 = w0 + az * dz
         w2 = w1 + ay * dy
-        omega[i] = w2 + ax * dx
-        alpha[i] = (alpha[p] + jnp.cross(w0, az) * dz + jnp.cross(w1, ay) * dy
-                    + jnp.cross(w2, ax) * dx)
-        d = xpos[i] - xpos[p]
-        v[i] = v[p] + jnp.cross(w0, d)
-        a[i] = a[p] + jnp.cross(alpha[p], d) + jnp.cross(w0, jnp.cross(w0, d))
-    omega = jnp.stack(omega)
-    v = jnp.stack(v)
-    alpha = jnp.stack(alpha)
-    a = jnp.stack(a)
+        wi = w2 + ax * dx
+        al = (alpha[par] + jnp.cross(w0, az) * dz + jnp.cross(w1, ay) * dy
+              + jnp.cross(w2, ax) * dx)
+        d = xpos[idx] - xpos[par]
+        vi = v[par] + jnp.cross(w0, d)
+        ai = (a[par] + jnp.cross(alpha[par], d)
+              + jnp.cross(w0, jnp.cross(w0, d)))
+        omega = omega.at[idx].set(wi)
+        alpha = alpha.at[idx].set(al)
+        v = v.at[idx].set(vi)
+        a = a.at[idx].set(ai)
+
     r = xipos - xpos
     acom = a + jnp.cross(alpha, r) + jnp.cross(omega, jnp.cross(omega, r))
     return dict(omega=omega, vel=v, alpha_bias=alpha, a_bias=a, acom_bias=acom)
@@ -197,53 +203,102 @@ def bias_force(model: Model, vel, Jlin, Jang, Rtot):
 # ---------------------------------------------------------------------------
 
 
-def contact_qfrc(topo: Topology, model: Model, kin, vel, Jlin, Jang):
-    """Penalty ground contacts at precomputed hull points.
+def contact_terms(topo: Topology, model: Model, kin, vel):
+    """Ground contacts at precomputed hull points: explicit normal springs +
+    IMPLICIT damping/friction.
 
-    Replaces MuJoCo's mesh-plane constraint contacts with a regularized
-    spring-damper + Coulomb friction cone; per-body wrench reduction keeps
-    the generalized-force projection at two einsums regardless of the number
-    of contact points.
+    Explicit spring-dampers are unstable at 450 Hz for light end bodies
+    (toes): any per-point damping stiff enough to stop sliding exceeds the
+    explicit stability bound c·dt/m_eff < 2. Instead the normal damping and
+    (clamped-coefficient viscous Coulomb) friction enter the forward
+    dynamics as a velocity-implicit term: per-point 3×3 damping matrices are
+    lumped into per-body 6×6 contact-damping wrenches W_b, and the solve
+    becomes (M + dt·Σ J6ᵀ W J6) q̈ = rhs — unconditionally stable for any
+    damping magnitude, and W projects through the same Gram-matmul pattern
+    as the mass matrix (MXU-friendly, contact-count independent).
+
+    The spring force is depth-capped so deep initial interpenetration gives a
+    bounded restoring force (MuJoCo bounds constraint forces via solimp;
+    humanoid_im.py scenes regularly start slightly penetrated).
+
+    Returns (spring forces (P,3) world, per-point data for reduction,
+    W (nb,6,6) damping wrenches about body COM).
     """
     cp, cb = model.contact_point, model.contact_body
     xpos, xquat, xipos = kin["xpos"], kin["xquat"], kin["xipos"]
     wp = xpos[cb] + quat_rotate(xquat[cb], cp)           # (P,3) world points
     vp = vel["vel"][cb] + jnp.cross(vel["omega"][cb], wp - xpos[cb])
     depth = wp[:, 2]
-    active = depth < 0.0
-    # spring depth is capped: deep initial interpenetration produces a
-    # bounded restoring force instead of a launch (MuJoCo's constraint
-    # solver bounds forces via solimp; this is the penalty analogue)
+    active = (depth < 0.0).astype(wp.dtype)
     pen = jnp.clip(-depth, 0.0, model.contact_depth_cap)
-    fn = jnp.where(
-        active,
-        jnp.maximum(model.contact_stiffness * pen
-                    - model.contact_damping * vp[:, 2], 0.0),
-        0.0,
-    )
-    vt = vp[:, 0:2]
-    # regularized Coulomb friction; vreg keeps the tangential stiffness
-    # within the explicit 450 Hz stability bound
-    vt_norm = jnp.maximum(
-        jnp.sqrt(jnp.sum(vt * vt, axis=1) + 1e-12), model.contact_vreg)
-    ft = -model.friction * fn[:, None] * vt / vt_norm[:, None]
-    force = jnp.concatenate([ft, fn[:, None]], axis=1)   # (P,3) world
-    # reduce to per-body wrench about the body COM
+    fn = model.contact_stiffness * pen * active          # (P,)
+
+    # implicit damping coefficients per point: normal damping, and viscous
+    # friction whose coefficient is clamped so the tangential force
+    # saturates near μ·fn once |v_t| reaches contact_vreg (approximate cone)
+    vt_norm = jnp.sqrt(vp[:, 0] ** 2 + vp[:, 1] ** 2 + 1e-12)
+    c_n = model.contact_damping * active
+    # cap the viscous-friction coefficient: keeps cond(M + dt·J6ᵀWJ6) within
+    # f32 Cholesky range while still sticking at ~mm/s creep per foot
+    c_t = active * jnp.minimum(
+        model.friction * fn / jnp.maximum(vt_norm, model.contact_vreg),
+        2000.0)
+
+    force = jnp.concatenate(
+        [jnp.zeros_like(vp[:, :2]), fn[:, None]], axis=1)  # spring only
+
+    # per-body reduction of the spring wrench
     F = jax.ops.segment_sum(force, cb, num_segments=topo.nbody)
     T = jax.ops.segment_sum(jnp.cross(wp - xipos[cb], force), cb,
                             num_segments=topo.nbody)
-    return (jnp.einsum("naj,na->j", Jlin, F) + jnp.einsum("naj,na->j", Jang, T))
+
+    # per-body 6x6 damping wrench: W_b = Σ_pt S_ptᵀ D_pt S_pt with
+    # S_pt = [I | -skew(r)], r = point - COM, D = diag(c_t, c_t, c_n)
+    r = wp - xipos[cb]                                    # (P,3)
+    d = jnp.stack([c_t, c_t, c_n], axis=1)                # (P,3)
+    rx, ry, rz = r[:, 0], r[:, 1], r[:, 2]
+    zeros = jnp.zeros_like(rx)
+    # -skew(r): rows are d(v_pt)/d(omega)
+    S_ang = jnp.stack([
+        jnp.stack([zeros, rz, -ry], 1),
+        jnp.stack([-rz, zeros, rx], 1),
+        jnp.stack([ry, -rx, zeros], 1),
+    ], axis=1)                                            # (P,3,3)
+    # blocks of W: [D, D·Sang; SangᵀD, SangᵀD·Sang]
+    DS = d[:, :, None] * S_ang                            # (P,3,3)
+    Wll = jnp.zeros((r.shape[0], 3, 3), r.dtype) + jnp.eye(3, dtype=r.dtype) * d[:, :, None]
+    Wla = DS
+    Waa = jnp.einsum("pab,pac->pbc", S_ang, DS)
+    top = jnp.concatenate([Wll, Wla], axis=2)
+    bot = jnp.concatenate([jnp.swapaxes(Wla, 1, 2), Waa], axis=2)
+    W_pt = jnp.concatenate([top, bot], axis=1)            # (P,6,6)
+    W = jax.ops.segment_sum(W_pt, cb, num_segments=topo.nbody)
+    return F, T, W
 
 
-def limit_qfrc(model: Model, qpos, qvel, k: float = 2000.0, d: float = 20.0):
-    """Joint-range penalty (MuJoCo limited=true hinge ranges)."""
+def contact_qfrc(topo, model, kin, vel, Jlin, Jang):
+    """Spring-only generalized contact force (implicit part handled in
+    `substep` via the damping wrench W)."""
+    F, T, W = contact_terms(topo, model, kin, vel)
+    q = jnp.einsum("naj,na->j", Jlin, F) + jnp.einsum("naj,na->j", Jang, T)
+    return q, W
+
+
+def limit_qfrc(model: Model, qpos, qvel, k: float = 500.0, d: float = 20.0):
+    """Joint-range penalty (MuJoCo limited=true hinge ranges).
+
+    Returns (spring force (nv,), implicit per-dof damping diag (nv,)) — the
+    damping joins the velocity-implicit system matrix so stiff limits stay
+    stable on armature-only dofs."""
     q = qpos[7:]
     lo, hi = model.jnt_range[:, 0], model.jnt_range[:, 1]
     below = jnp.maximum(lo - q, 0.0)
     above = jnp.maximum(q - hi, 0.0)
-    out = (below > 0) | (above > 0)
-    tau = k * (below - above) - jnp.where(out, d * qvel[6:], 0.0)
-    return jnp.concatenate([jnp.zeros(6, qpos.dtype), tau])
+    out = ((below > 0) | (above > 0)).astype(qpos.dtype)
+    tau = k * (below - above)
+    zeros6 = jnp.zeros(6, qpos.dtype)
+    return (jnp.concatenate([zeros6, tau]),
+            jnp.concatenate([zeros6, out * d]))
 
 
 # ---------------------------------------------------------------------------
@@ -251,24 +306,17 @@ def limit_qfrc(model: Model, qpos, qvel, k: float = 2000.0, d: float = 20.0):
 # ---------------------------------------------------------------------------
 
 
-def stable_pd_torque(model: Model, qpos, qvel, target_pos, kp, kd, C, M):
-    """Stable-PD torque with implicit damping solve.
-
-    q̈_des = (M + Kd·dt)⁻¹ (−C − Kp·e − Kd·ė), e evaluated one step ahead
-    (compute_desired_accel / compute_torque)."""
+def stable_pd_errors(model: Model, qpos, qvel, target_pos, kp, kd, C):
+    """Stable-PD quantities (humanoid_im.py:1014-1076): returns
+    (rhs of the q̈_des system, qpos_err, kd_full). The solve itself is
+    batched together with the forward-dynamics solve in `substep`."""
     dt = model.dt
-    nv = qvel.shape[0]
     kp_full = jnp.concatenate([jnp.zeros(6, qpos.dtype), kp])
     kd_full = jnp.concatenate([jnp.zeros(6, qpos.dtype), kd])
     qpos_err = jnp.concatenate(
         [jnp.zeros(6, qpos.dtype), qpos[7:] + qvel[6:] * dt - target_pos])
-    qvel_err = qvel
-    rhs = -C - kp_full * qpos_err - kd_full * qvel_err
-    A = M + jnp.diag(kd_full) * dt
-    L = jax.scipy.linalg.cho_factor(A, lower=True)
-    qacc_des = jax.scipy.linalg.cho_solve(L, rhs)
-    tau = -kp * qpos_err[6:] - kd * (qvel_err[6:] + qacc_des[6:] * dt)
-    return tau
+    rhs = -C - kp_full * qpos_err - kd_full * qvel
+    return rhs, qpos_err, kd_full
 
 
 # ---------------------------------------------------------------------------
@@ -292,7 +340,15 @@ def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
 
     `qfrc_applied` is the residual-force wrench already mapped to generalized
     coordinates (rfc_implicit writes the first 6 entries, humanoid_im.py:1143).
-    Returns (qpos', qvel', torque)."""
+    Returns (qpos', qvel', torque).
+
+    The stable-PD q̈_des system (M + Kd·dt) and the forward-dynamics system
+    (M + dt·(contact damping + limit damping)) are factored as ONE stacked
+    blocked-Cholesky batch — two 75×75 SPD factorizations per substep, done
+    in 16×16 panels on the MXU (uhc_tpu.physics.linalg).
+    """
+    from uhc_tpu.physics import linalg as LA
+
     kin = fk(topo, model, qpos)
     vel = velocities(topo, kin, qvel)
     Jlin, Jang = jacobians(topo, kin)
@@ -300,15 +356,37 @@ def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
     M = mass_matrix(model, Jlin, Jang, Rtot, sqI)
     C = bias_force(model, vel, Jlin, Jang, Rtot)
 
-    tau = stable_pd_torque(model, qpos, qvel, target_pos, kp, kd, C, M)
+    qfrc_con, W = contact_qfrc(topo, model, kin, vel, Jlin, Jang)
+    qfrc_lim, lim_damp = limit_qfrc(model, qpos, qvel)
+
+    # velocity-implicit contact damping/friction (backward Euler on the
+    # damping term): CD = Σ_b J6ᵀ W_b J6 in Gram form — K = W·J6 reshaped to
+    # (144, nv) keeps everything a single (nv×144)(144×nv) GEMM with no
+    # (nbody, nv, nv) intermediates.
+    nv = topo.nv
+    J6 = jnp.concatenate([Jlin, Jang], axis=1)            # (nb, 6, nv)
+    K = jnp.einsum("nab,nbj->naj", W, J6)                 # (nb, 6, nv)
+    J6s = J6.reshape(-1, nv)
+    CD = J6s.T @ K.reshape(-1, nv)                        # (nv, nv)
+    v6 = jnp.concatenate([
+        vel["vel"] + jnp.cross(vel["omega"], kin["xipos"] - kin["xpos"]),
+        vel["omega"]], axis=1)                            # (nb, 6) COM vel
+    qfrc_damp = -(K.reshape(-1, nv).T @ v6.reshape(-1)) - lim_damp * qvel
+
+    # stacked factorization: [PD system, forward-dynamics system]
+    pd_rhs, qpos_err, kd_full = stable_pd_errors(
+        model, qpos, qvel, target_pos, kp, kd, C)
+    A_pd = M + jnp.diag(kd_full) * model.dt
+    A_fd = M + model.dt * (CD + jnp.diag(lim_damp))
+    LL = LA.blocked_cholesky(jnp.stack([A_pd, A_fd]))
+
+    qacc_des = LA.blocked_cho_solve(
+        jax.tree.map(lambda x: x[0], LL), pd_rhs)
+    tau = -kp * qpos_err[6:] - kd * (qvel[6:] + qacc_des[6:] * model.dt)
     tau = jnp.clip(tau, -model.torque_lim, model.torque_lim)
     qfrc_act = jnp.concatenate([jnp.zeros(6, qpos.dtype), tau])
 
-    qfrc_con = contact_qfrc(topo, model, kin, vel, Jlin, Jang)
-    qfrc_lim = limit_qfrc(model, qpos, qvel)
-
-    rhs = qfrc_act + qfrc_applied + qfrc_con + qfrc_lim - C
-    L = jax.scipy.linalg.cho_factor(M, lower=True)
-    qacc = jax.scipy.linalg.cho_solve(L, rhs)
+    rhs = qfrc_act + qfrc_applied + qfrc_con + qfrc_lim + qfrc_damp - C
+    qacc = LA.blocked_cho_solve(jax.tree.map(lambda x: x[1], LL), rhs)
     qpos_n, qvel_n = integrate(model, qpos, qvel, qacc)
     return qpos_n, qvel_n, tau

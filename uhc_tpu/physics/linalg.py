@@ -1,0 +1,142 @@
+"""Batched SPD linear algebra tuned for TPU.
+
+XLA's native batched `cholesky`/`triangular_solve` on TPU iterate over all
+75 columns touching the full (B, 75, 75) matrix every step — O(n) full-matrix
+HBM passes. For the physics engine's (M + D·dt) solves this was the dominant
+substep cost. The blocked right-looking factorization here touches only
+16×16 panels per sequential step and does the O(n³) work in batched GEMMs
+(MXU), cutting HBM traffic per factorization by ~n/block.
+
+Matrices are padded to 80 (5 blocks of 16) with an identity tail so the
+factorization is well-defined. Solves run block-forward/backward with the
+inverse diagonal blocks precomputed during factorization, so each solve step
+is a batched (16×16) matmul, not a scalar loop.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BS = 16  # block size (f32 sublane-friendly)
+
+
+def _pad_spd(A, n_pad):
+    """Pad (..., n, n) SPD matrix to (..., n_pad, n_pad) with identity."""
+    n = A.shape[-1]
+    if n == n_pad:
+        return A
+    pad = [(0, 0)] * (A.ndim - 2) + [(0, n_pad - n), (0, n_pad - n)]
+    A = jnp.pad(A, pad)
+    eye_tail = jnp.zeros((n_pad,), A.dtype).at[n:].set(1.0)
+    return A + jnp.diag(eye_tail)
+
+
+def _chol_block(D):
+    """Unrolled Cholesky of a (..., BS, BS) SPD block -> lower L."""
+    L = jnp.zeros_like(D)
+    for j in range(BS):
+        if j == 0:
+            s = D[..., :, 0]
+        else:
+            s = D[..., :, j] - jnp.einsum("...ik,...k->...i",
+                                          L[..., :, :j], L[..., j, :j])
+        d = jnp.sqrt(jnp.maximum(s[..., j], 1e-12))
+        col = s / d[..., None]
+        # zero the upper part
+        mask = (jnp.arange(BS) >= j).astype(D.dtype)
+        L = L.at[..., :, j].set(col * mask)
+    return L
+
+
+def _tri_inv_lower(L):
+    """Inverse of a lower-triangular (..., BS, BS) block, unrolled
+    forward substitution against the identity."""
+    X = jnp.zeros_like(L)
+    inv_diag = 1.0 / L[..., jnp.arange(BS), jnp.arange(BS)]
+    for i in range(BS):
+        if i == 0:
+            row = jnp.zeros(L.shape[:-2] + (BS,), L.dtype)
+        else:
+            row = jnp.einsum("...k,...kj->...j", L[..., i, :i], X[..., :i, :])
+        e_i = jnp.zeros((BS,), L.dtype).at[i].set(1.0)
+        X = X.at[..., i, :].set((e_i - row) * inv_diag[..., i, None])
+    return X
+
+
+def blocked_cholesky(A, n_pad: int | None = None):
+    """Factor SPD (..., n, n) -> (L blocks, Linv diagonal blocks).
+
+    Returns (L (..., np, np) lower-triangular, Linv_diag (..., nb, BS, BS))
+    where nb = np // BS. Use with `blocked_cho_solve`.
+    """
+    n = A.shape[-1]
+    if n_pad is None:
+        n_pad = -(-n // BS) * BS
+    A = _pad_spd(A, n_pad)
+    nb = n_pad // BS
+    batch = A.shape[:-2]
+    # blocked views
+    Ab = A.reshape(batch + (nb, BS, nb, BS))
+    Ab = jnp.moveaxis(Ab, -2, -3)  # (..., nb, nb, BS, BS)
+
+    L = jnp.zeros_like(Ab)
+    Linv = jnp.zeros(batch + (nb, BS, BS), A.dtype)
+    S = Ab
+    for k in range(nb):
+        Dkk = S[..., k, k, :, :]
+        Lkk = _chol_block(Dkk)
+        Lkk_inv = _tri_inv_lower(Lkk)
+        L = L.at[..., k, k, :, :].set(Lkk)
+        Linv = Linv.at[..., k, :, :].set(Lkk_inv)
+        if k + 1 < nb:
+            # panel: L[i,k] = S[i,k] @ Lkk^{-T}  for i > k
+            panel = jnp.einsum("...nab,...cb->...nac",
+                               S[..., k + 1:, k, :, :], Lkk_inv)
+            L = L.at[..., k + 1:, k, :, :].set(panel)
+            # Schur update of the trailing submatrix
+            upd = jnp.einsum("...nab,...mcb->...nmac", panel, panel)
+            S = S.at[..., k + 1:, k + 1:, :, :].add(-upd)
+    return L, Linv
+
+
+def blocked_cho_solve(LL, b):
+    """Solve A x = b given blocked_cholesky output. b: (..., n) or (..., n, k)."""
+    L, Linv = LL
+    nb = Linv.shape[-3]
+    n_pad = nb * BS
+    # L has block layout (..., nb, nb, BS, BS): batch ndim = L.ndim - 4
+    vec = b.ndim == L.ndim - 3
+    if vec:
+        b = b[..., None]
+    n = b.shape[-2]
+    if n < n_pad:
+        pad = [(0, 0)] * (b.ndim - 2) + [(0, n_pad - n), (0, 0)]
+        b = jnp.pad(b, pad)
+    batch = b.shape[:-2]
+    bb = b.reshape(batch + (nb, BS, -1))
+
+    # forward: L y = b
+    y = jnp.zeros_like(bb)
+    for i in range(nb):
+        acc = bb[..., i, :, :]
+        for j in range(i):
+            acc = acc - jnp.einsum("...ab,...bk->...ak",
+                                   L[..., i, j, :, :], y[..., j, :, :])
+        y = y.at[..., i, :, :].set(
+            jnp.einsum("...ab,...bk->...ak", Linv[..., i, :, :], acc))
+    # backward: L^T x = y
+    x = jnp.zeros_like(y)
+    for i in reversed(range(nb)):
+        acc = y[..., i, :, :]
+        for j in range(i + 1, nb):
+            acc = acc - jnp.einsum("...ba,...bk->...ak",
+                                   L[..., j, i, :, :], x[..., j, :, :])
+        x = x.at[..., i, :, :].set(
+            jnp.einsum("...ba,...bk->...ak", Linv[..., i, :, :], acc))
+    x = x.reshape(batch + (n_pad, -1))[..., :n, :]
+    return x[..., 0] if vec else x
+
+
+def spd_solve(A, b):
+    """Convenience: solve SPD A x = b via the blocked factorization."""
+    return blocked_cho_solve(blocked_cholesky(A), b)

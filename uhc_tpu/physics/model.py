@@ -75,6 +75,24 @@ class Topology:
         """Indices in parent-before-child order (the build order already is)."""
         return list(range(self.nbody))
 
+    def levels(self):
+        """Bodies grouped by tree depth (root excluded): list of
+        (body_idx array, parent_idx array). FK/velocity propagation iterates
+        over depth (9 for SMPL) instead of bodies (24) — every body within a
+        level advances in one vectorized step."""
+        import numpy as _np
+
+        depth = [0] * self.nbody
+        for i in range(1, self.nbody):
+            depth[i] = depth[self.parents[i]] + 1
+        out = []
+        for d in range(1, max(depth) + 1):
+            idx = _np.array([i for i in range(self.nbody) if depth[i] == d],
+                            _np.int32)
+            par = _np.array([self.parents[i] for i in idx], _np.int32)
+            out.append((idx, par))
+        return out
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

@@ -37,7 +37,7 @@ def load_mjcf_humanoid(
     contact_stiffness: float = 30000.0,
     contact_damping: float = 600.0,
     contact_depth_cap: float = 0.01,
-    contact_vreg: float = 0.05,
+    contact_vreg: float = 0.01,
     friction: float = 1.0,
     armature_hinge: float = 0.01,
 ):

@@ -42,6 +42,8 @@ class EnvConfig:
     residual_force_scale: float = 100.0
     residual_force_lim: float = 100.0
     residual_force_mode: str = "implicit"
+    residual_force_torque: bool = True
+    residual_force_bodies_num: int = 1
     rfc_decay: bool = False
     meta_pd: bool = True
     meta_pd_joint: bool = False
@@ -149,6 +151,8 @@ class Config:
             residual_force_scale=d.get("residual_force_scale", 200.0),
             residual_force_lim=d.get("residual_force_lim", 100.0),
             residual_force_mode=d.get("residual_force_mode", "implicit"),
+            residual_force_torque=bool(d.get("residual_force_torque", True)),
+            residual_force_bodies_num=d.get("residual_force_bodies_num", 1),
             rfc_decay=d.get("rfc_decay", False),
             meta_pd=d.get("meta_pd", False),
             meta_pd_joint=d.get("meta_pd_joint", False),

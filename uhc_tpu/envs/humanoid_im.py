@@ -77,12 +77,23 @@ def expert_at(expert_lib: Dict[str, Any], seq_idx, t):
     return per_frame
 
 
+def body_vf_dim(cfg: EnvConfig) -> int:
+    """Per-body explicit-RFC slot: contact point (3) + force (3) [+ torque
+    (3)] (humanoid_im.py:242)."""
+    return 6 + (3 if cfg.residual_force_torque else 0)
+
+
 def action_dims(topo: Topology, cfg: EnvConfig):
-    """ndof / vf_dim / meta_pd_dim layout (humanoid_im.py:226-250)."""
+    """ndof / vf_dim / meta_pd_dim layout (humanoid_im.py:226-250).
+    Explicit RFC allocates body_vf_dim per body ("all" bodies) × num_each."""
     ndof = topo.ndof
     vf_dim = 0
     if cfg.residual_force:
-        vf_dim = 6 if cfg.residual_force_mode == "implicit" else 0
+        if cfg.residual_force_mode == "implicit":
+            vf_dim = 6
+        else:
+            vf_dim = (body_vf_dim(cfg) * topo.nbody
+                      * cfg.residual_force_bodies_num)
     meta_dim = 2 * cfg.frame_skip if cfg.meta_pd else (2 * ndof if cfg.meta_pd_joint else 0)
     return ndof, vf_dim, meta_dim
 
@@ -131,6 +142,7 @@ def do_simulation(topo: Topology, model: Model, cfg: EnvConfig, qpos, qvel,
             kp, kd = model.jkp, model.jkd
 
         qfrc_applied = jnp.zeros(topo.nv, qp.dtype)
+        vf_body = None
         if cfg.residual_force and cfg.residual_force_mode == "implicit":
             # rfc_implicit (humanoid_im.py:1136): scale, rotate the linear
             # part into the world by the heading, clip.
@@ -140,9 +152,21 @@ def do_simulation(topo: Topology, model: Model, cfg: EnvConfig, qpos, qvel,
             vf = jnp.concatenate([quat_rotate(hq, vf[:3]), vf[3:]])
             vf = jnp.clip(vf, -cfg.residual_force_lim, cfg.residual_force_lim)
             qfrc_applied = qfrc_applied.at[:6].set(vf)
+        elif cfg.residual_force:
+            # rfc_explicit (humanoid_im.py:1080): per-body [cp, f, τ] in the
+            # body frame; force/torque scaled by residual_force_scale.
+            bvd = body_vf_dim(cfg)
+            vf = action[ndof:ndof + vf_dim].reshape(topo.nbody, -1, bvd)
+            vf = jnp.sum(vf, axis=1) if vf.shape[1] > 1 else vf[:, 0]
+            scale = cfg.residual_force_scale * rfc_rate
+            cp = vf[:, 0:3]
+            f = vf[:, 3:6] * scale
+            t = (vf[:, 6:9] * scale if cfg.residual_force_torque
+                 else jnp.zeros_like(f))
+            vf_body = jnp.concatenate([cp, f, t], axis=1)
 
         qp, qv, tau = E.substep(topo, model, qp, qv, target_pos, kp, kd,
-                                qfrc_applied)
+                                qfrc_applied, vf_body)
         return (qp, qv), None
 
     (qpos, qvel), _ = jax.lax.scan(sub, (qpos, qvel),
@@ -321,53 +345,6 @@ def obs_dim(topo: Topology, cfg: EnvConfig, shape_obs_dim: int = 0) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Reward: world_rfc_implicit (uhc/losses/reward_function.py:12)
-# ---------------------------------------------------------------------------
-
-
-def reward_world_rfc_implicit(topo: Topology, model: Model, cfg: EnvConfig,
-                              state: EnvState, action, expert_lib,
-                              jpos_diffw, body_diffw):
-    exp = expert_at(expert_lib, state.seq_idx, state.start_ind + state.cur_t)
-    kin = E.fk(topo, model, state.qpos)
-    dt = cfg.ctrl_dt
-
-    cur_ee = kin["xpos"][SMPL_EE_INDICES].reshape(-1)
-    cur_bquat = get_body_quat(state.qpos)
-    cur_bangvel = angvel_fd(state.prev_bquat, cur_bquat, dt)
-    cur_com = kin["xipos"][0]
-
-    pose_diff = multi_quat_norm(multi_quat_diff(cur_bquat, exp["bquat"]))
-    pose_diff = pose_diff * jnp.concatenate(
-        [jnp.ones(1, pose_diff.dtype), body_diffw])
-    pose_dist = jnp.linalg.norm(pose_diff)
-    pose_reward = jnp.exp(-cfg.k_p * pose_dist**2)
-
-    w = jpos_diffw[:, None]
-    vel_dist = jnp.linalg.norm(
-        (cur_bangvel.reshape(-1, 3) * w - exp["bangvel"].reshape(-1, 3) * w).reshape(-1))
-    vel_reward = jnp.exp(-cfg.k_v * vel_dist**2)
-
-    ee_dist = jnp.linalg.norm(cur_ee - exp["ee_wpos"])
-    ee_reward = jnp.exp(-cfg.k_e * ee_dist**2)
-
-    com_dist = jnp.linalg.norm(cur_com - exp["com"])
-    com_reward = jnp.exp(-cfg.k_c * com_dist**2)
-
-    ndof, vf_dim, _ = action_dims(topo, cfg)
-    if cfg.residual_force and vf_dim:
-        vf = action[ndof:ndof + vf_dim]
-        vf_reward = jnp.exp(-cfg.k_vf * jnp.sum(vf**2))
-    else:
-        vf_reward = jnp.zeros((), action.dtype)
-
-    ws = jnp.asarray([cfg.w_p, cfg.w_v, cfg.w_e, cfg.w_c, cfg.w_vf])
-    terms = jnp.stack([pose_reward, vel_reward, ee_reward, com_reward, vf_reward])
-    reward = jnp.sum(ws * terms) / jnp.sum(ws)
-    return reward, terms
-
-
-# ---------------------------------------------------------------------------
 # Termination + step + reset
 # ---------------------------------------------------------------------------
 
@@ -426,8 +403,11 @@ def env_step(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
 
     state = dataclasses.replace(state, done=done, fail=fail, end=end,
                                 percent=percent)
-    reward, terms = reward_world_rfc_implicit(
-        topo, model, cfg, state, action, expert_lib, jpos_diffw, body_diffw)
+    from uhc_tpu.rewards.reward_function import get_reward_fn
+
+    aux = {"jpos_diffw": jpos_diffw, "body_diffw": body_diffw}
+    reward, terms = get_reward_fn(cfg.reward_id)(
+        topo, model, cfg, state, action, expert_lib, aux)
     obs = get_obs(topo, model, cfg, state, expert_lib)
     return state, obs, reward, terms, done
 

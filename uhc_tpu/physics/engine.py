@@ -42,6 +42,11 @@ from uhc_tpu.maths import (
 )
 from uhc_tpu.physics.model import Model, Topology
 
+# TPU f32 matmuls default to bf16 multiplications; the mass matrix feeds a
+# Cholesky whose smallest pivots sit at armature scale (1e-2), so the Gram
+# contractions here must run at full f32 precision.
+HI = jax.lax.Precision.HIGHEST
+
 
 # ---------------------------------------------------------------------------
 # Kinematics
@@ -182,20 +187,24 @@ def mass_matrix(model: Model, Jlin, Jang, Rtot, sqI):
     Equals MuJoCo's mj_fullM output (humanoid_im.py:1019)."""
     nb, _, nv = Jlin.shape
     Glin = jnp.sqrt(model.body_mass)[:, None, None] * Jlin
-    Gang = sqI[:, :, None] * jnp.einsum("nab,naj->nbj", Rtot, Jang)
+    Gang = sqI[:, :, None] * jnp.einsum("nab,naj->nbj", Rtot, Jang,
+                                        precision=HI)
     G = jnp.concatenate([Glin, Gang], axis=1).reshape(nb * 6, nv)
-    M = G.T @ G
+    M = jnp.matmul(G.T, G, precision=HI)
     return M + jnp.diag(model.armature)
 
 
 def bias_force(model: Model, vel, Jlin, Jang, Rtot):
     """qfrc_bias (Coriolis + centrifugal + gravity), same sign convention as
     mujoco_py data.qfrc_bias (humanoid_im.py:1022): M q̈ + C = qfrc_applied."""
-    Iw = jnp.einsum("nab,nb,ncb->nac", Rtot, model.body_inertia, Rtot)
+    Iw = jnp.einsum("nab,nb,ncb->nac", Rtot, model.body_inertia, Rtot,
+                    precision=HI)
     f = model.body_mass[:, None] * (vel["acom_bias"] - model.gravity)
-    t = (jnp.einsum("nab,nb->na", Iw, vel["alpha_bias"])
-         + jnp.cross(vel["omega"], jnp.einsum("nab,nb->na", Iw, vel["omega"])))
-    return jnp.einsum("naj,na->j", Jlin, f) + jnp.einsum("naj,na->j", Jang, t)
+    t = (jnp.einsum("nab,nb->na", Iw, vel["alpha_bias"], precision=HI)
+         + jnp.cross(vel["omega"], jnp.einsum("nab,nb->na", Iw, vel["omega"],
+                                              precision=HI)))
+    return (jnp.einsum("naj,na->j", Jlin, f, precision=HI)
+            + jnp.einsum("naj,na->j", Jang, t, precision=HI))
 
 
 # ---------------------------------------------------------------------------
@@ -221,58 +230,75 @@ def contact_terms(topo: Topology, model: Model, kin, vel):
     bounded restoring force (MuJoCo bounds constraint forces via solimp;
     humanoid_im.py scenes regularly start slightly penetrated).
 
-    Returns (spring forces (P,3) world, per-point data for reduction,
-    W (nb,6,6) damping wrenches about body COM).
+    Returns (F (nb,3) spring forces, T (nb,3) spring torques about body COMs,
+    W (nb,6,6) implicit damping wrenches), all in world frame.
     """
-    cp, cb = model.contact_point, model.contact_body
+    cp, cmask = model.contact_point, model.contact_mask   # (nb,K,3), (nb,K)
     xpos, xquat, xipos = kin["xpos"], kin["xquat"], kin["xipos"]
-    wp = xpos[cb] + quat_rotate(xquat[cb], cp)           # (P,3) world points
-    vp = vel["vel"][cb] + jnp.cross(vel["omega"][cb], wp - xpos[cb])
-    depth = wp[:, 2]
-    active = (depth < 0.0).astype(wp.dtype)
+    wp = xpos[:, None] + quat_rotate(xquat[:, None], cp)  # (nb,K,3) world
+    vp = vel["vel"][:, None] + jnp.cross(vel["omega"][:, None],
+                                         wp - xpos[:, None])
+    depth = wp[..., 2]
+    active = (depth < 0.0).astype(wp.dtype) * cmask
     pen = jnp.clip(-depth, 0.0, model.contact_depth_cap)
-    fn = model.contact_stiffness * pen * active          # (P,)
+    fn = model.contact_stiffness * pen * active           # (nb,K)
 
     # implicit damping coefficients per point: normal damping, and viscous
-    # friction whose coefficient is clamped so the tangential force
-    # saturates near μ·fn once |v_t| reaches contact_vreg (approximate cone)
-    vt_norm = jnp.sqrt(vp[:, 0] ** 2 + vp[:, 1] ** 2 + 1e-12)
-    c_n = model.contact_damping * active
-    # cap the viscous-friction coefficient: keeps cond(M + dt·J6ᵀWJ6) within
-    # f32 Cholesky range while still sticking at ~mm/s creep per foot
-    c_t = active * jnp.minimum(
+    # friction whose coefficient saturates the tangential force near μ·fn
+    # once |v_t| reaches contact_vreg (approximate cone), capped to keep
+    # cond(M + dt·J6ᵀWJ6) within f32 Cholesky range
+    vt_norm = jnp.sqrt(vp[..., 0] ** 2 + vp[..., 1] ** 2 + 1e-12)
+    b = model.contact_damping * active                    # normal coeff
+    a = active * jnp.minimum(
         model.friction * fn / jnp.maximum(vt_norm, model.contact_vreg),
-        2000.0)
+        2000.0)                                           # tangential coeff
 
-    force = jnp.concatenate(
-        [jnp.zeros_like(vp[:, :2]), fn[:, None]], axis=1)  # spring only
+    # spring wrench about the COM: force is fn·ẑ at point wp, so
+    # F = (0,0,Σfn), T = Σ fn·(r × ẑ) = (Σ fn·ry, -Σ fn·rx, 0)
+    r = wp - xipos[:, None]                               # (nb,K,3)
+    rx, ry, rz = r[..., 0], r[..., 1], r[..., 2]
+    zsum = jnp.zeros((topo.nbody,), wp.dtype)
+    F = jnp.stack([zsum, zsum, jnp.sum(fn, -1)], axis=-1)
+    T = jnp.stack([jnp.sum(fn * ry, -1), -jnp.sum(fn * rx, -1), zsum], -1)
 
-    # per-body reduction of the spring wrench
-    F = jax.ops.segment_sum(force, cb, num_segments=topo.nbody)
-    T = jax.ops.segment_sum(jnp.cross(wp - xipos[cb], force), cb,
-                            num_segments=topo.nbody)
-
-    # per-body 6x6 damping wrench: W_b = Σ_pt S_ptᵀ D_pt S_pt with
-    # S_pt = [I | -skew(r)], r = point - COM, D = diag(c_t, c_t, c_n)
-    r = wp - xipos[cb]                                    # (P,3)
-    d = jnp.stack([c_t, c_t, c_n], axis=1)                # (P,3)
-    rx, ry, rz = r[:, 0], r[:, 1], r[:, 2]
-    zeros = jnp.zeros_like(rx)
-    # -skew(r): rows are d(v_pt)/d(omega)
-    S_ang = jnp.stack([
-        jnp.stack([zeros, rz, -ry], 1),
-        jnp.stack([-rz, zeros, rx], 1),
-        jnp.stack([ry, -rx, zeros], 1),
-    ], axis=1)                                            # (P,3,3)
-    # blocks of W: [D, D·Sang; SangᵀD, SangᵀD·Sang]
-    DS = d[:, :, None] * S_ang                            # (P,3,3)
-    Wll = jnp.zeros((r.shape[0], 3, 3), r.dtype) + jnp.eye(3, dtype=r.dtype) * d[:, :, None]
-    Wla = DS
-    Waa = jnp.einsum("pab,pac->pbc", S_ang, DS)
-    top = jnp.concatenate([Wll, Wla], axis=2)
-    bot = jnp.concatenate([jnp.swapaxes(Wla, 1, 2), Waa], axis=2)
-    W_pt = jnp.concatenate([top, bot], axis=1)            # (P,6,6)
-    W = jax.ops.segment_sum(W_pt, cb, num_segments=topo.nbody)
+    # per-body 6x6 damping wrench W_b = Σ_pt S_ptᵀ D S_pt, assembled in
+    # closed form from masked reductions (S = [I | -skew(r)], D=diag(a,a,b)):
+    # no per-point 6x6 tensors, no scatter.
+    sa = jnp.sum(a, -1)
+    sb = jnp.sum(b, -1)
+    sarx, sary, sarz = (jnp.sum(a * rx, -1), jnp.sum(a * ry, -1),
+                        jnp.sum(a * rz, -1))
+    sbrx, sbry = jnp.sum(b * rx, -1), jnp.sum(b * ry, -1)
+    z = jnp.zeros_like(sa)
+    Wll = jnp.stack([
+        jnp.stack([sa, z, z], -1),
+        jnp.stack([z, sa, z], -1),
+        jnp.stack([z, z, sb], -1)], -2)
+    # D·(-skew r) summed: rows scale by (a, a, b)
+    Wla = jnp.stack([
+        jnp.stack([z, sarz, -sary], -1),
+        jnp.stack([-sarz, z, sarx], -1),
+        jnp.stack([sbry, -sbrx, z], -1)], -2)
+    # Waa = Nᵀ D N with N = -skew(r): symmetric 3x3 assembled from masked
+    # point reductions:
+    #   [ a·rz² + b·ry²,  -b·rx·ry,        -a·rx·rz       ]
+    #   [ -b·rx·ry,       a·rz² + b·rx²,   -a·ry·rz       ]
+    #   [ -a·rx·rz,       -a·ry·rz,        a·(rx² + ry²)  ]
+    arz2 = jnp.sum(a * rz * rz, -1)
+    arx2 = jnp.sum(a * rx * rx, -1)
+    ary2 = jnp.sum(a * ry * ry, -1)
+    arxz = jnp.sum(a * rx * rz, -1)
+    aryz = jnp.sum(a * ry * rz, -1)
+    brx2 = jnp.sum(b * rx * rx, -1)
+    bry2 = jnp.sum(b * ry * ry, -1)
+    brxy = jnp.sum(b * rx * ry, -1)
+    Waa = jnp.stack([
+        jnp.stack([arz2 + bry2, -brxy, -arxz], -1),
+        jnp.stack([-brxy, arz2 + brx2, -aryz], -1),
+        jnp.stack([-arxz, -aryz, arx2 + ary2], -1)], -2)
+    top = jnp.concatenate([Wll, Wla], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(Wla, -1, -2), Waa], axis=-1)
+    W = jnp.concatenate([top, bot], axis=-2)              # (nb, 6, 6)
     return F, T, W
 
 
@@ -280,7 +306,8 @@ def contact_qfrc(topo, model, kin, vel, Jlin, Jang):
     """Spring-only generalized contact force (implicit part handled in
     `substep` via the damping wrench W)."""
     F, T, W = contact_terms(topo, model, kin, vel)
-    q = jnp.einsum("naj,na->j", Jlin, F) + jnp.einsum("naj,na->j", Jang, T)
+    q = (jnp.einsum("naj,na->j", Jlin, F, precision=HI)
+         + jnp.einsum("naj,na->j", Jang, T, precision=HI))
     return q, W
 
 
@@ -335,7 +362,7 @@ def integrate(model: Model, qpos, qvel, qacc):
 
 
 def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
-            qfrc_applied):
+            qfrc_applied, vf_body=None):
     """One 450 Hz physics substep with stable-PD actuation.
 
     `qfrc_applied` is the residual-force wrench already mapped to generalized
@@ -365,13 +392,14 @@ def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
     # (nbody, nv, nv) intermediates.
     nv = topo.nv
     J6 = jnp.concatenate([Jlin, Jang], axis=1)            # (nb, 6, nv)
-    K = jnp.einsum("nab,nbj->naj", W, J6)                 # (nb, 6, nv)
+    K = jnp.einsum("nab,nbj->naj", W, J6, precision=HI)   # (nb, 6, nv)
     J6s = J6.reshape(-1, nv)
-    CD = J6s.T @ K.reshape(-1, nv)                        # (nv, nv)
+    CD = jnp.matmul(J6s.T, K.reshape(-1, nv), precision=HI)  # (nv, nv)
     v6 = jnp.concatenate([
         vel["vel"] + jnp.cross(vel["omega"], kin["xipos"] - kin["xpos"]),
         vel["omega"]], axis=1)                            # (nb, 6) COM vel
-    qfrc_damp = -(K.reshape(-1, nv).T @ v6.reshape(-1)) - lim_damp * qvel
+    qfrc_damp = (-jnp.matmul(K.reshape(-1, nv).T, v6.reshape(-1),
+                             precision=HI) - lim_damp * qvel)
 
     # stacked factorization: [PD system, forward-dynamics system]
     pd_rhs, qpos_err, kd_full = stable_pd_errors(
@@ -387,6 +415,17 @@ def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
     qfrc_act = jnp.concatenate([jnp.zeros(6, qpos.dtype), tau])
 
     rhs = qfrc_act + qfrc_applied + qfrc_con + qfrc_lim + qfrc_damp - C
+    if vf_body is not None:
+        # explicit residual forces (rfc_explicit, humanoid_im.py:1080-1132):
+        # per-body body-local [contact point, force, torque] applied as a
+        # world wrench at that point (mj_applyFT equivalent).
+        cp_w = quat_rotate(kin["xquat"], vf_body[:, 0:3])
+        f_w = quat_rotate(kin["xquat"], vf_body[:, 3:6])
+        t_w = quat_rotate(kin["xquat"], vf_body[:, 6:9])
+        p_w = kin["xpos"] + cp_w
+        T = jnp.cross(p_w - kin["xipos"], f_w) + t_w
+        rhs = rhs + (jnp.einsum("naj,na->j", Jlin, f_w, precision=HI)
+                     + jnp.einsum("naj,na->j", Jang, T, precision=HI))
     qacc = LA.blocked_cho_solve(jax.tree.map(lambda x: x[1], LL), rhs)
     qpos_n, qvel_n = integrate(model, qpos, qvel, qacc)
     return qpos_n, qvel_n, tau

@@ -17,6 +17,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# TPU f32 matmuls default to bf16 multiplications; factorization pivots at
+# armature scale (1e-2) would flip negative under that error, so every
+# contraction here runs at full f32 precision.
+HI = jax.lax.Precision.HIGHEST
+
 BS = 16  # block size (f32 sublane-friendly)
 
 
@@ -39,7 +44,8 @@ def _chol_block(D):
             s = D[..., :, 0]
         else:
             s = D[..., :, j] - jnp.einsum("...ik,...k->...i",
-                                          L[..., :, :j], L[..., j, :j])
+                                          L[..., :, :j], L[..., j, :j],
+                                          precision=HI)
         d = jnp.sqrt(jnp.maximum(s[..., j], 1e-12))
         col = s / d[..., None]
         # zero the upper part
@@ -57,7 +63,8 @@ def _tri_inv_lower(L):
         if i == 0:
             row = jnp.zeros(L.shape[:-2] + (BS,), L.dtype)
         else:
-            row = jnp.einsum("...k,...kj->...j", L[..., i, :i], X[..., :i, :])
+            row = jnp.einsum("...k,...kj->...j", L[..., i, :i],
+                              X[..., :i, :], precision=HI)
         e_i = jnp.zeros((BS,), L.dtype).at[i].set(1.0)
         X = X.at[..., i, :].set((e_i - row) * inv_diag[..., i, None])
     return X
@@ -91,10 +98,11 @@ def blocked_cholesky(A, n_pad: int | None = None):
         if k + 1 < nb:
             # panel: L[i,k] = S[i,k] @ Lkk^{-T}  for i > k
             panel = jnp.einsum("...nab,...cb->...nac",
-                               S[..., k + 1:, k, :, :], Lkk_inv)
+                               S[..., k + 1:, k, :, :], Lkk_inv, precision=HI)
             L = L.at[..., k + 1:, k, :, :].set(panel)
             # Schur update of the trailing submatrix
-            upd = jnp.einsum("...nab,...mcb->...nmac", panel, panel)
+            upd = jnp.einsum("...nab,...mcb->...nmac", panel, panel,
+                              precision=HI)
             S = S.at[..., k + 1:, k + 1:, :, :].add(-upd)
     return L, Linv
 
@@ -121,18 +129,22 @@ def blocked_cho_solve(LL, b):
         acc = bb[..., i, :, :]
         for j in range(i):
             acc = acc - jnp.einsum("...ab,...bk->...ak",
-                                   L[..., i, j, :, :], y[..., j, :, :])
+                                   L[..., i, j, :, :], y[..., j, :, :],
+                                   precision=HI)
         y = y.at[..., i, :, :].set(
-            jnp.einsum("...ab,...bk->...ak", Linv[..., i, :, :], acc))
+            jnp.einsum("...ab,...bk->...ak", Linv[..., i, :, :], acc,
+                       precision=HI))
     # backward: L^T x = y
     x = jnp.zeros_like(y)
     for i in reversed(range(nb)):
         acc = y[..., i, :, :]
         for j in range(i + 1, nb):
             acc = acc - jnp.einsum("...ba,...bk->...ak",
-                                   L[..., j, i, :, :], x[..., j, :, :])
+                                   L[..., j, i, :, :], x[..., j, :, :],
+                                   precision=HI)
         x = x.at[..., i, :, :].set(
-            jnp.einsum("...ba,...bk->...ak", Linv[..., i, :, :], acc))
+            jnp.einsum("...ba,...bk->...ak", Linv[..., i, :, :], acc,
+                       precision=HI))
     x = x.reshape(batch + (n_pad, -1))[..., :n, :]
     return x[..., 0] if vec else x
 

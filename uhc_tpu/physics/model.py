@@ -112,9 +112,10 @@ class Model:
     torque_lim: Any    # (ndof,)
     a_scale: Any       # (ndof,) torque-mode action scale
     jnt_range: Any     # (ndof,2) joint limits (radians)
-    # contact
-    contact_point: Any  # (P,3) candidate points, body frame
-    contact_body: Any   # (P,) int32 body index
+    # contact: dense per-body layout (nb, K, 3) + validity mask — fixed K per
+    # body so all reductions are reshape-sums (no scatter on TPU)
+    contact_point: Any  # (nb, K, 3) candidate points, body frame
+    contact_mask: Any   # (nb, K) 1.0 for real points, 0.0 padding
     # scalars (0-d arrays so the pytree stays uniform)
     friction: Any        # tangential friction coefficient
     contact_stiffness: Any
@@ -134,8 +135,5 @@ def model_to_dtype(m: Model, dtype) -> Model:
     fields = {}
     for f in dataclasses.fields(Model):
         v = getattr(m, f.name)
-        if f.name == "contact_body":
-            fields[f.name] = jnp.asarray(v, jnp.int32)
-        else:
-            fields[f.name] = jnp.asarray(v, dtype)
+        fields[f.name] = jnp.asarray(v, dtype)
     return Model(**fields)

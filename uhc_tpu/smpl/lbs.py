@@ -1,0 +1,146 @@
+"""SMPL linear blend skinning in JAX.
+
+Replaces the reference's dependency on the torch `smplx` package
+(uhc/smpllib/smpl_parser.py:7-9, get_joints_verts/get_mesh_offsets
+:335-462). Only the pieces the framework needs are implemented:
+
+* shape blendshapes + joint regression: betas -> zero-pose joints/vertices,
+* full LBS: (pose_aa, betas, trans) -> posed vertices (for the
+  penetration/skate eval metrics and vertex export),
+* per-body vertex assignment by argmax skinning weight — the rule the
+  reference uses to build per-bone collision geometry
+  (uhc/smpllib/smpl_robot.py:83 get_joint_geometries).
+
+Model data loads from the standard SMPL npz/pkl files when the user
+provides them (they are not redistributable); everything is pure JAX so the
+whole AMASS library can be skinned on device in one vmap.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from uhc_tpu.maths import quat_from_rotvec, quat_mul, quat_rotate
+from uhc_tpu.smpl.constants import (MUJOCO_2_SMPL, SMPL_2_MUJOCO,
+                                    SMPL_BONE_ORDER_NAMES)
+
+# SMPL kinematic parents in SMPL bone order (smplx kintree_table)
+SMPL_PARENTS = np.array(
+    [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18,
+     19, 20, 21], np.int32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SMPLData:
+    """Static SMPL model arrays (one gender)."""
+
+    v_template: Any   # (V, 3)
+    shapedirs: Any    # (V, 3, n_betas)
+    j_regressor: Any  # (24, V)
+    weights: Any      # (V, 24) LBS skinning weights
+
+
+def load_smpl_data(path: str, n_betas: int = 16) -> SMPLData:
+    """Load a SMPL model file (.pkl or .npz) into SMPLData."""
+    if path.endswith(".npz"):
+        d = dict(np.load(path, allow_pickle=True))
+    else:
+        with open(path, "rb") as f:
+            d = pickle.load(f, encoding="latin1")
+    sd = np.asarray(d["shapedirs"])[:, :, :n_betas]
+    jr = np.asarray(d["J_regressor"].todense()
+                    if hasattr(d["J_regressor"], "todense")
+                    else d["J_regressor"])[:24]
+    return SMPLData(
+        v_template=jnp.asarray(np.asarray(d["v_template"]), jnp.float32),
+        shapedirs=jnp.asarray(sd, jnp.float32),
+        j_regressor=jnp.asarray(jr, jnp.float32),
+        weights=jnp.asarray(np.asarray(d["weights"])[:, :24], jnp.float32),
+    )
+
+
+def synthetic_smpl_data(rng_seed: int = 0, V: int = 512, n_betas: int = 16):
+    """Synthetic stand-in with SMPL's shapes, for tests without model files."""
+    rng = np.random.default_rng(rng_seed)
+    v = rng.normal(scale=0.3, size=(V, 3)).astype(np.float32)
+    v[:, 2] += 0.3
+    sd = rng.normal(scale=0.01, size=(V, 3, n_betas)).astype(np.float32)
+    jr = np.abs(rng.normal(size=(24, V))).astype(np.float32)
+    jr /= jr.sum(1, keepdims=True)
+    w = np.abs(rng.normal(size=(V, 24))).astype(np.float32)
+    w /= w.sum(1, keepdims=True)
+    return SMPLData(jnp.asarray(v), jnp.asarray(sd), jnp.asarray(jr),
+                    jnp.asarray(w))
+
+
+def shaped_vertices(data: SMPLData, betas: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pose vertices for shape coefficients betas (n_betas,)."""
+    nb = betas.shape[-1]
+    return data.v_template + jnp.einsum(
+        "vcb,b->vc", data.shapedirs[:, :, :nb], betas)
+
+
+def shaped_joints(data: SMPLData, betas: jnp.ndarray) -> jnp.ndarray:
+    """(24, 3) zero-pose joint locations in SMPL bone order."""
+    return data.j_regressor @ shaped_vertices(data, betas)
+
+
+def lbs(data: SMPLData, pose_aa: jnp.ndarray, betas: jnp.ndarray,
+        trans: Optional[jnp.ndarray] = None):
+    """Linear blend skinning.
+
+    pose_aa: (24, 3) axis-angle in SMPL bone order; betas: (n_betas,);
+    trans: (3,). Returns (vertices (V,3), joints (24,3)) in world space —
+    the `get_joints_verts` equivalent (smpl_parser.py:335)."""
+    verts0 = shaped_vertices(data, betas)
+    joints0 = data.j_regressor @ verts0
+
+    quats = quat_from_rotvec(pose_aa)        # (24,4) local rotations
+    # accumulate global joint transforms down the SMPL tree
+    gquat = [None] * 24
+    gpos = [None] * 24
+    gquat[0] = quats[0]
+    gpos[0] = joints0[0]
+    for i in range(1, 24):
+        p = int(SMPL_PARENTS[i])
+        gquat[i] = quat_mul(gquat[p], quats[i])
+        gpos[i] = gpos[p] + quat_rotate(gquat[p], joints0[i] - joints0[p])
+    gquat = jnp.stack(gquat)
+    gpos = jnp.stack(gpos)
+
+    # skin vertices: x' = Σ_j w_j (R_j (x - j0_j) + g_j)
+    rel = verts0[:, None, :] - joints0[None, :, :]          # (V,24,3)
+    moved = quat_rotate(gquat[None], rel) + gpos[None]      # (V,24,3)
+    verts = jnp.einsum("vj,vjc->vc", data.weights, moved)
+    if trans is not None:
+        verts = verts + trans
+        gpos = gpos + trans
+    return verts, gpos
+
+
+def vertex_body_assignment(data: SMPLData) -> np.ndarray:
+    """Vertex -> body assignment by argmax skinning weight, in MuJoCo body
+    order (smpl_robot.py:83 builds per-bone geometries this way)."""
+    a = np.argmax(np.asarray(data.weights), axis=1)  # SMPL joint index
+    return np.asarray(MUJOCO_2_SMPL)[a].astype(np.int32)
+
+
+def mujoco_offsets_from_betas(data: SMPLData, betas: jnp.ndarray):
+    """Per-body local offsets (mujoco order) + root offset for a body shape —
+    the array-level equivalent of Robot.load_from_skeleton -> MJCF body pos
+    (smpl_robot.py:1018): offsets[i] = joint_i - joint_parent(i)."""
+    joints = shaped_joints(data, betas)[np.asarray(SMPL_2_MUJOCO)]  # mujoco order
+    from uhc_tpu.smpl.constants import MUJOCO_PARENTS
+
+    parents = np.asarray(MUJOCO_PARENTS)
+    off = joints - jnp.where(
+        (parents[:, None] >= 0), joints[np.maximum(parents, 0)], 0.0)
+    return off, joints[0]

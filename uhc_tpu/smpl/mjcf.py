@@ -98,7 +98,9 @@ def load_mjcf_humanoid(
     body_ipos = np.zeros((nbody, 3))
     body_inertia = np.zeros((nbody, 3))
     body_iquat = np.tile([1.0, 0, 0, 0], (nbody, 1))
-    cpoints, cbody = [], []
+    K = max(contact_points_per_body, foot_contact_points)
+    cpoints = np.zeros((nbody, K, 3))
+    cmask = np.zeros((nbody, K))
 
     for i in range(nbody):
         mname = mesh_of[i]
@@ -119,8 +121,8 @@ def load_mjcf_humanoid(
         k = foot_contact_points if names[i] in ("L_Ankle", "R_Ankle", "L_Toe", "R_Toe") else contact_points_per_body
         verts = np.unique(tris.reshape(-1, 3), axis=0)
         pts = meshlib.convex_hull_points(verts, k) - origin
-        cpoints.append(pts)
-        cbody.append(np.full(len(pts), i, np.int32))
+        cpoints[i, :k] = pts
+        cmask[i, :k] = 1.0
 
     topo = Topology(nbody=nbody, parents=tuple(parents), body_names=tuple(names))
 
@@ -146,8 +148,8 @@ def load_mjcf_humanoid(
         armature=armature.astype(np.float32),
         jkp=jkp, jkd=jkd, torque_lim=tq, a_scale=a_scale,
         jnt_range=jnt_range.astype(np.float32),
-        contact_point=np.concatenate(cpoints, 0).astype(np.float32),
-        contact_body=np.concatenate(cbody, 0),
+        contact_point=cpoints.astype(np.float32),
+        contact_mask=cmask.astype(np.float32),
         friction=np.float32(friction),
         contact_stiffness=np.float32(contact_stiffness),
         contact_damping=np.float32(contact_damping),

@@ -55,12 +55,13 @@ def main():
     ndof, vf, meta = H.action_dims(topo, cfg)
     actions = jnp.zeros((B, ndof + vf + meta))
 
+    step = H.make_env_step_batched(
+        topo, cfg, use_fast_solver=os.environ.get("BENCH_EXACT", "0") != "1")
+
     @jax.jit
     def run(states):
         def body(s, _):
-            s2, _, r, _, d = jax.vmap(
-                lambda ss, aa: H.env_step(topo, model, cfg, ss, aa, lib,
-                                          jpw, bdw))(s, actions)
+            s2, _, r, _, d = step(model, s, actions, lib, jpw, bdw)
             return s2, r
         s, rews = jax.lax.scan(body, states, None, length=CTRL_STEPS)
         return s, rews

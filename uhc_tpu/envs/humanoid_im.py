@@ -360,20 +360,12 @@ def calc_body_diff(topo: Topology, model: Model, state: EnvState, expert_lib,
     return jnp.sum(per_body * mask) / jnp.sum(mask)
 
 
-def env_step(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
-             action, expert_lib, jpos_diffw, body_diffw, rfc_rate=1.0,
-             train: bool = True):
-    """One 30 Hz control step (humanoid_im.py:1192). Returns
-    (state', obs, reward, reward_terms, done, info-dict)."""
-    prev_bquat = get_body_quat(state.qpos)
-    tgt = expert_at(expert_lib, state.seq_idx,
-                    state.start_ind + state.cur_t + 1)
-    qpos, qvel = do_simulation(topo, model, cfg, state.qpos, state.qvel,
-                               action, tgt["qpos"][7:], rfc_rate)
-    cur_t = state.cur_t + 1
-    state = dataclasses.replace(state, qpos=qpos, qvel=qvel, cur_t=cur_t,
-                                prev_bquat=prev_bquat)
-
+def env_post_step(topo: Topology, model: Model, cfg: EnvConfig,
+                  state: EnvState, action, expert_lib, jpos_diffw,
+                  body_diffw, train: bool = True):
+    """Termination + reward + obs after the physics advanced (state already
+    holds the new qpos/qvel/cur_t/prev_bquat)."""
+    qpos, qvel, cur_t = state.qpos, state.qvel, state.cur_t
     # episode window: reference slices the expert to
     # [fr_start, min(fr_start+t_max, len)) (dataset_amass_single.py:239) and
     # the env terminates at the window end; here the full sequence stays
@@ -410,6 +402,60 @@ def env_step(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
         topo, model, cfg, state, action, expert_lib, aux)
     obs = get_obs(topo, model, cfg, state, expert_lib)
     return state, obs, reward, terms, done
+
+
+def env_step(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
+             action, expert_lib, jpos_diffw, body_diffw, rfc_rate=1.0,
+             train: bool = True):
+    """One 30 Hz control step (humanoid_im.py:1192). Returns
+    (state', obs, reward, reward_terms, done)."""
+    prev_bquat = get_body_quat(state.qpos)
+    tgt = expert_at(expert_lib, state.seq_idx,
+                    state.start_ind + state.cur_t + 1)
+    qpos, qvel = do_simulation(topo, model, cfg, state.qpos, state.qvel,
+                               action, tgt["qpos"][7:], rfc_rate)
+    state = dataclasses.replace(state, qpos=qpos, qvel=qvel,
+                                cur_t=state.cur_t + 1, prev_bquat=prev_bquat)
+    return env_post_step(topo, model, cfg, state, action, expert_lib,
+                         jpos_diffw, body_diffw, train)
+
+
+def make_env_step_batched(topo: Topology, cfg: EnvConfig,
+                          use_fast_solver: bool = True):
+    """Batch-level control step: the physics substep chain runs at batch
+    level (enabling the maintained-inverse solver,
+    uhc_tpu.physics.solver.make_do_simulation); obs/reward/termination are
+    vmapped per env."""
+    if use_fast_solver:
+        from uhc_tpu.physics.solver import make_do_simulation
+
+        fast_sim = make_do_simulation(topo, cfg)
+    else:
+        fast_sim = None
+
+    def step(model: Model, states: EnvState, actions, expert_lib,
+             jpos_diffw, body_diffw, rfc_rate=1.0, train: bool = True):
+        prev_bquat = jax.vmap(get_body_quat)(states.qpos)
+        tgt = jax.vmap(lambda s: expert_at(
+            expert_lib, s.seq_idx, s.start_ind + s.cur_t + 1))(states)
+        target_base = tgt["qpos"][:, 7:]
+        if fast_sim is not None:
+            qpos, qvel = fast_sim(model, states.qpos, states.qvel, actions,
+                                  target_base, rfc_rate)
+        else:
+            qpos, qvel = jax.vmap(
+                lambda qp, qv, a, tb: do_simulation(
+                    topo, model, cfg, qp, qv, a, tb, rfc_rate))(
+                states.qpos, states.qvel, actions, target_base)
+        states = dataclasses.replace(
+            states, qpos=qpos, qvel=qvel, cur_t=states.cur_t + 1,
+            prev_bquat=prev_bquat)
+        return jax.vmap(
+            lambda s, a: env_post_step(topo, model, cfg, s, a, expert_lib,
+                                       jpos_diffw, body_diffw, train))(
+            states, actions)
+
+    return step
 
 
 def match_heading_and_pos(qpos_1, qpos_2, base_rot):

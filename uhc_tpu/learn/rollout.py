@@ -47,10 +47,12 @@ def make_rollout_fn(
     policy_mean_fn: Callable,
     horizon: int,
     clip_obs: float = 5.0,
+    use_fast_solver: bool = True,
 ):
     """Build rollout(model, expert_lib, aux, params, log_std, rs, env_state,
     rng, noise_rate, rfc_rate, seq_logits) -> (env_state', rs', TrajBatch,
     last_obs_norm)."""
+    env_step_batched = H.make_env_step_batched(topo, cfg, use_fast_solver)
 
     def reset_like(model, expert_lib, aux, state: H.EnvState, rng, seq_logits):
         rng, k1, k2 = jax.random.split(rng, 3)
@@ -88,10 +90,9 @@ def make_rollout_fn(
             action = jnp.where(use_mean[:, None], mean, mean + noise)
             exps = 1.0 - use_mean.astype(mean.dtype)
 
-            state2, _, reward, terms, done = jax.vmap(
-                lambda s, a: H.env_step(topo, model, cfg, s, a, expert_lib,
-                                        jpos_diffw, body_diffw, rfc_rate,
-                                        train=True))(state, action)
+            state2, _, reward, terms, done = env_step_batched(
+                model, state, action, expert_lib, jpos_diffw, body_diffw,
+                rfc_rate, train=True)
             out = TrajBatch(
                 states=nobs, actions=action, rewards=reward,
                 masks=1.0 - done.astype(mean.dtype), exps=exps,

@@ -361,6 +361,59 @@ def integrate(model: Model, qpos, qvel, qacc):
     return jnp.concatenate([root_pos, root_quat, joints]), qvel_new
 
 
+def assemble(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
+             qfrc_applied, vf_body=None):
+    """Phase 1 of a substep: everything except the linear solves.
+
+    Returns a dict with the two SPD system matrices (A_pd for stable-PD,
+    A_fd for forward dynamics), the PD right-hand side, and the force terms
+    needed to build the FD right-hand side once the PD torque is known.
+    Split out so batch-level solvers (Newton-maintained inverses,
+    uhc_tpu.physics.solver) can own the solves."""
+    kin = fk(topo, model, qpos)
+    vel = velocities(topo, kin, qvel)
+    Jlin, Jang = jacobians(topo, kin)
+    Rtot, sqI = world_inertia_factors(model, kin["xquat"])
+    M = mass_matrix(model, Jlin, Jang, Rtot, sqI)
+    C = bias_force(model, vel, Jlin, Jang, Rtot)
+
+    qfrc_con, W = contact_qfrc(topo, model, kin, vel, Jlin, Jang)
+    qfrc_lim, lim_damp = limit_qfrc(model, qpos, qvel)
+
+    nv = topo.nv
+    J6 = jnp.concatenate([Jlin, Jang], axis=1)
+    K = jnp.einsum("nab,nbj->naj", W, J6, precision=HI)
+    CD = jnp.matmul(J6.reshape(-1, nv).T, K.reshape(-1, nv), precision=HI)
+    v6 = jnp.concatenate([
+        vel["vel"] + jnp.cross(vel["omega"], kin["xipos"] - kin["xpos"]),
+        vel["omega"]], axis=1)
+    qfrc_damp = (-jnp.matmul(K.reshape(-1, nv).T, v6.reshape(-1),
+                             precision=HI) - lim_damp * qvel)
+
+    pd_rhs, qpos_err, kd_full = stable_pd_errors(
+        model, qpos, qvel, target_pos, kp, kd, C)
+    A_pd = M + jnp.diag(kd_full) * model.dt
+    A_fd = M + model.dt * (CD + jnp.diag(lim_damp))
+
+    rhs_base = qfrc_applied + qfrc_con + qfrc_lim + qfrc_damp - C
+    if vf_body is not None:
+        cp_w = quat_rotate(kin["xquat"], vf_body[:, 0:3])
+        f_w = quat_rotate(kin["xquat"], vf_body[:, 3:6])
+        t_w = quat_rotate(kin["xquat"], vf_body[:, 6:9])
+        p_w = kin["xpos"] + cp_w
+        T = jnp.cross(p_w - kin["xipos"], f_w) + t_w
+        rhs_base = rhs_base + (jnp.einsum("naj,na->j", Jlin, f_w, precision=HI)
+                               + jnp.einsum("naj,na->j", Jang, T, precision=HI))
+    return dict(A_pd=A_pd, A_fd=A_fd, pd_rhs=pd_rhs, qpos_err=qpos_err,
+                rhs_base=rhs_base)
+
+
+def pd_torque_from_accel(model: Model, qvel, qpos_err, kp, kd, qacc_des):
+    """τ = -Kp e - Kd(ė + q̈_des·dt), clipped (humanoid_im.py:1075)."""
+    tau = -kp * qpos_err[6:] - kd * (qvel[6:] + qacc_des[6:] * model.dt)
+    return jnp.clip(tau, -model.torque_lim, model.torque_lim)
+
+
 def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
             qfrc_applied, vf_body=None):
     """One 450 Hz physics substep with stable-PD actuation.
@@ -372,60 +425,19 @@ def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
     The stable-PD q̈_des system (M + Kd·dt) and the forward-dynamics system
     (M + dt·(contact damping + limit damping)) are factored as ONE stacked
     blocked-Cholesky batch — two 75×75 SPD factorizations per substep, done
-    in 16×16 panels on the MXU (uhc_tpu.physics.linalg).
+    in 16×16 panels on the MXU (uhc_tpu.physics.linalg). This is the exact
+    reference path; `uhc_tpu.physics.solver` provides the fast batched path
+    that amortizes factorizations across substeps.
     """
     from uhc_tpu.physics import linalg as LA
 
-    kin = fk(topo, model, qpos)
-    vel = velocities(topo, kin, qvel)
-    Jlin, Jang = jacobians(topo, kin)
-    Rtot, sqI = world_inertia_factors(model, kin["xquat"])
-    M = mass_matrix(model, Jlin, Jang, Rtot, sqI)
-    C = bias_force(model, vel, Jlin, Jang, Rtot)
-
-    qfrc_con, W = contact_qfrc(topo, model, kin, vel, Jlin, Jang)
-    qfrc_lim, lim_damp = limit_qfrc(model, qpos, qvel)
-
-    # velocity-implicit contact damping/friction (backward Euler on the
-    # damping term): CD = Σ_b J6ᵀ W_b J6 in Gram form — K = W·J6 reshaped to
-    # (144, nv) keeps everything a single (nv×144)(144×nv) GEMM with no
-    # (nbody, nv, nv) intermediates.
-    nv = topo.nv
-    J6 = jnp.concatenate([Jlin, Jang], axis=1)            # (nb, 6, nv)
-    K = jnp.einsum("nab,nbj->naj", W, J6, precision=HI)   # (nb, 6, nv)
-    J6s = J6.reshape(-1, nv)
-    CD = jnp.matmul(J6s.T, K.reshape(-1, nv), precision=HI)  # (nv, nv)
-    v6 = jnp.concatenate([
-        vel["vel"] + jnp.cross(vel["omega"], kin["xipos"] - kin["xpos"]),
-        vel["omega"]], axis=1)                            # (nb, 6) COM vel
-    qfrc_damp = (-jnp.matmul(K.reshape(-1, nv).T, v6.reshape(-1),
-                             precision=HI) - lim_damp * qvel)
-
-    # stacked factorization: [PD system, forward-dynamics system]
-    pd_rhs, qpos_err, kd_full = stable_pd_errors(
-        model, qpos, qvel, target_pos, kp, kd, C)
-    A_pd = M + jnp.diag(kd_full) * model.dt
-    A_fd = M + model.dt * (CD + jnp.diag(lim_damp))
-    LL = LA.blocked_cholesky(jnp.stack([A_pd, A_fd]))
-
+    out = assemble(topo, model, qpos, qvel, target_pos, kp, kd,
+                   qfrc_applied, vf_body)
+    LL = LA.blocked_cholesky(jnp.stack([out["A_pd"], out["A_fd"]]))
     qacc_des = LA.blocked_cho_solve(
-        jax.tree.map(lambda x: x[0], LL), pd_rhs)
-    tau = -kp * qpos_err[6:] - kd * (qvel[6:] + qacc_des[6:] * model.dt)
-    tau = jnp.clip(tau, -model.torque_lim, model.torque_lim)
-    qfrc_act = jnp.concatenate([jnp.zeros(6, qpos.dtype), tau])
-
-    rhs = qfrc_act + qfrc_applied + qfrc_con + qfrc_lim + qfrc_damp - C
-    if vf_body is not None:
-        # explicit residual forces (rfc_explicit, humanoid_im.py:1080-1132):
-        # per-body body-local [contact point, force, torque] applied as a
-        # world wrench at that point (mj_applyFT equivalent).
-        cp_w = quat_rotate(kin["xquat"], vf_body[:, 0:3])
-        f_w = quat_rotate(kin["xquat"], vf_body[:, 3:6])
-        t_w = quat_rotate(kin["xquat"], vf_body[:, 6:9])
-        p_w = kin["xpos"] + cp_w
-        T = jnp.cross(p_w - kin["xipos"], f_w) + t_w
-        rhs = rhs + (jnp.einsum("naj,na->j", Jlin, f_w, precision=HI)
-                     + jnp.einsum("naj,na->j", Jang, T, precision=HI))
+        jax.tree.map(lambda x: x[0], LL), out["pd_rhs"])
+    tau = pd_torque_from_accel(model, qvel, out["qpos_err"], kp, kd, qacc_des)
+    rhs = out["rhs_base"] + jnp.concatenate([jnp.zeros(6, qpos.dtype), tau])
     qacc = LA.blocked_cho_solve(jax.tree.map(lambda x: x[1], LL), rhs)
     qpos_n, qvel_n = integrate(model, qpos, qvel, qacc)
     return qpos_n, qvel_n, tau

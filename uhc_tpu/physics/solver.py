@@ -1,0 +1,158 @@
+"""Fast batched substep chain: Newton-maintained inverse solver.
+
+The exact path factors two 75×75 SPD systems per 450 Hz substep
+(engine.substep). Cholesky has inherent sequential depth O(n), which on TPU
+means hundreds of tiny kernels per substep — the measured throughput wall.
+
+This module replaces per-substep factorizations with *maintained inverses*:
+
+  * substep 0 of each 30 Hz control step computes exact inverses of
+    (A_pd, A_fd) via the blocked Cholesky solved against I (an MXU-friendly
+    matrix-RHS solve);
+  * substeps 1..14 update the inverses with 2 symmetrized Newton–Schulz
+    iterations  X ← 2X − X·A·X  — pure batched (B,75,75) MXU matmuls, no
+    sequential scalar steps — tracking the slow drift of M(q) plus the
+    per-substep meta-PD gain and contact-state changes;
+  * every solve applies one residual refinement x += X(b − Ax), so solve
+    error is O(‖I − AX‖²) ~ 1e-4.
+
+Environment resets happen at control-step boundaries, so substep 0's exact
+factorization always starts the chain from a fresh state.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from uhc_tpu.physics import engine as E
+from uhc_tpu.physics import linalg as LA
+from uhc_tpu.physics.model import Model, Topology
+
+HI = jax.lax.Precision.HIGHEST
+# Newton products have intermediate magnitudes ~ ||X||·||A||·||X|| (1e6 for
+# these systems); reduced-precision multiplications destroy the update, so
+# the iteration also runs at full f32.
+MED = jax.lax.Precision.HIGHEST
+
+
+def exact_inverse(A: jnp.ndarray) -> jnp.ndarray:
+    """(..., n, n) SPD -> inverse via blocked Cholesky vs identity."""
+    n = A.shape[-1]
+    LL = LA.blocked_cholesky(A)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    return LA.blocked_cho_solve(LL, eye)
+
+
+def newton_update(X: jnp.ndarray, A: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
+    """Symmetrized Newton–Schulz refinement of X ≈ A⁻¹."""
+    for _ in range(iters):
+        AX = jnp.matmul(A, X, precision=MED)
+        X = 2.0 * X - jnp.matmul(X, AX, precision=MED)
+        X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+    return X
+
+
+def solve_refined(X: jnp.ndarray, A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """x = X·b with one residual refinement step."""
+    x = jnp.einsum("...ij,...j->...i", X, b, precision=HI)
+    r = b - jnp.einsum("...ij,...j->...i", A, x, precision=HI)
+    return x + jnp.einsum("...ij,...j->...i", X, r, precision=HI)
+
+
+def make_do_simulation(topo: Topology, cfg, newton_iters: int = 2):
+    """Batch-level do_simulation (humanoid_im.py:1145) with the maintained-
+    inverse solver. Returns fn(model, qpos (B,nq), qvel (B,nv),
+    actions (B,act), target_base (B,ndof), rfc_rate) -> (qpos', qvel')."""
+    from uhc_tpu.envs import humanoid_im as H
+
+    ndof, vf_dim, meta_dim = H.action_dims(topo, cfg)
+
+    def do_simulation(model, qpos, qvel, actions, target_base, rfc_rate):
+        B = qpos.shape[0]
+        dtype = qpos.dtype
+
+        if cfg.meta_pd:
+            meta = actions[:, ndof + vf_dim: ndof + vf_dim + meta_dim]
+            kp_scale = jnp.clip(meta[:, :cfg.frame_skip] + 1.0, 0.0, 10.0)
+            kd_scale = jnp.clip(meta[:, cfg.frame_skip:] + 1.0, 0.0, 10.0)
+        elif cfg.meta_pd_joint:
+            meta = actions[:, ndof + vf_dim: ndof + vf_dim + meta_dim]
+            kp_scale = jnp.tile(jnp.clip(meta[:, None, :ndof] + 1.0, 0.0, 10.0),
+                                (1, cfg.frame_skip, 1))
+            kd_scale = jnp.tile(jnp.clip(meta[:, None, ndof:] + 1.0, 0.0, 10.0),
+                                (1, cfg.frame_skip, 1))
+        else:
+            kp_scale = jnp.ones((B, cfg.frame_skip), dtype)
+            kd_scale = jnp.ones((B, cfg.frame_skip), dtype)
+
+        base_rot = jnp.asarray(cfg.base_rot, dtype)
+
+        def assemble_env(qp, qv, action, tb, kp, kd):
+            from uhc_tpu.maths import (heading_quat, quat_inv, quat_mul,
+                                       quat_rotate, wrap_to_pi)
+
+            if cfg.action_v == 1:
+                base = qp[7:] + wrap_to_pi(tb - qp[7:])
+            else:
+                base = jnp.zeros_like(qp[7:])
+            target_pos = base + action[:ndof]
+
+            qfrc_applied = jnp.zeros(topo.nv, dtype)
+            vf_body = None
+            if cfg.residual_force and cfg.residual_force_mode == "implicit":
+                vf = action[ndof:ndof + vf_dim] * (
+                    cfg.residual_force_scale * rfc_rate)
+                hq = heading_quat(quat_mul(qp[3:7], quat_inv(base_rot)))
+                vf = jnp.concatenate([quat_rotate(hq, vf[:3]), vf[3:]])
+                vf = jnp.clip(vf, -cfg.residual_force_lim,
+                              cfg.residual_force_lim)
+                qfrc_applied = qfrc_applied.at[:6].set(vf)
+            elif cfg.residual_force:
+                bvd = H.body_vf_dim(cfg)
+                v = action[ndof:ndof + vf_dim].reshape(topo.nbody, -1, bvd)
+                v = jnp.sum(v, axis=1) if v.shape[1] > 1 else v[:, 0]
+                s = cfg.residual_force_scale * rfc_rate
+                t = (v[:, 6:9] * s if cfg.residual_force_torque
+                     else jnp.zeros_like(v[:, 3:6]))
+                vf_body = jnp.concatenate([v[:, 0:3], v[:, 3:6] * s, t], 1)
+            out = E.assemble(topo, model, qp, qv, target_pos, kp, kd,
+                             qfrc_applied, vf_body)
+            out["kp"], out["kd"] = kp, kd
+            return out
+
+        def substep_batch(carry, i):
+            qp, qv, Xpd, Xfd = carry
+            ks, ds = kp_scale[:, i], kd_scale[:, i]
+            kp = model.jkp[None] * (ks[:, None] if ks.ndim == 1 else ks)
+            kd = model.jkd[None] * (ds[:, None] if ds.ndim == 1 else ds)
+            out = jax.vmap(assemble_env)(qp, qv, actions, target_base, kp, kd)
+            A_pd, A_fd = out["A_pd"], out["A_fd"]
+
+            Xpd, Xfd = jax.lax.cond(
+                i == 0,
+                lambda _: (exact_inverse(A_pd), exact_inverse(A_fd)),
+                lambda xs: (newton_update(xs[0], A_pd, newton_iters),
+                            newton_update(xs[1], A_fd, newton_iters)),
+                (Xpd, Xfd))
+
+            qacc_des = solve_refined(Xpd, A_pd, out["pd_rhs"])
+            tau = jax.vmap(
+                lambda v, e, p, d, a: E.pd_torque_from_accel(model, v, e, p, d, a)
+            )(qv, out["qpos_err"], out["kp"], out["kd"], qacc_des)
+            rhs = out["rhs_base"].at[:, 6:].add(tau)
+            qacc = solve_refined(Xfd, A_fd, rhs)
+            qp, qv = jax.vmap(lambda a, b, c: E.integrate(model, a, b, c))(
+                qp, qv, qacc)
+            return (qp, qv, Xpd, Xfd), None
+
+        nv = topo.nv
+        X0 = jnp.zeros((B, nv, nv), dtype)
+        (qpos, qvel, _, _), _ = jax.lax.scan(
+            substep_batch, (qpos, qvel, X0, X0),
+            jnp.arange(cfg.frame_skip))
+        return qpos, qvel
+
+    return do_simulation

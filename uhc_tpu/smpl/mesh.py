@@ -19,7 +19,16 @@ import numpy as np
 
 
 def load_stl(path: str) -> np.ndarray:
-    """Read an STL file -> (n_tri, 3, 3) float64 triangle vertices."""
+    """Read an STL file -> (n_tri, 3, 3) float64 triangle vertices.
+    Uses the native C++ toolkit when built (uhc_tpu/native)."""
+    try:
+        from uhc_tpu.native import meshtools as native
+
+        tris = native.load_stl(path)
+        if tris is not None:
+            return tris
+    except Exception:
+        pass
     with open(path, "rb") as f:
         head = f.read(80)
         rest = f.read()
@@ -46,8 +55,16 @@ def mesh_mass_properties(tris: np.ndarray, density: float = 1000.0):
 
     Divergence-theorem integrals over signed tetrahedra (origin, v0, v1, v2).
     Returns (mass, com (3,), inertia_com (3,3)) — inertia about the COM in
-    the mesh's coordinate frame.
+    the mesh's coordinate frame. Uses the native C++ toolkit when built.
     """
+    try:
+        from uhc_tpu.native import meshtools as native
+
+        out = native.mass_properties(tris, density)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
     # signed volume of each tet against the origin
     vol6 = np.einsum("ij,ij->i", v0, np.cross(v1, v2))

@@ -231,13 +231,16 @@ def obs_v2(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
     rel_pos = transform_vec(rel_pos, curr_root_quat, cfg.obs_coord)
     obs.append(rel_pos[:2])
 
+    # NOTE: the reference's transform_vec_batch returns a transposed (3, N)
+    # array and ravels it (math_utils.py:118), so these position blocks are
+    # component-major — replicated for exact feature-order parity.
     curr_jpos = kin["xpos"]
     r_jpos = curr_jpos - qpos_dh[None, :3]
     r_jpos = transform_vec(r_jpos, curr_root_quat[None], cfg.obs_coord)
-    obs.append(r_jpos.reshape(-1))
+    obs.append(r_jpos.T.reshape(-1))
     diff_jpos = target_jpos - curr_jpos
     diff_jpos = transform_vec(diff_jpos, curr_root_quat[None], cfg.obs_coord)
-    obs.append(diff_jpos.reshape(-1))
+    obs.append(diff_jpos.T.reshape(-1))
 
     cur_quat = kin["xquat"]
     obs.append(quat_mul(quat_inv(hq)[None], cur_quat).reshape(-1))
@@ -290,26 +293,129 @@ def obs_v1(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
     rel_pos = transform_vec(rel_pos, curr_root_quat, cfg.obs_coord)
     obs.append(rel_pos[:2])
 
+    # (transposed component-major ravel — see obs_v2 note)
     curr_jpos = kin["xpos"]
     r_jpos = transform_vec(curr_jpos - qpos_dh[None, :3],
                            curr_root_quat[None], cfg.obs_coord)
-    obs.append(r_jpos.reshape(-1))
+    obs.append(r_jpos.T.reshape(-1))
     diff_jpos = transform_vec(target_jpos - curr_jpos, curr_root_quat[None],
                               cfg.obs_coord)
-    obs.append(diff_jpos.reshape(-1))
+    obs.append(diff_jpos.T.reshape(-1))
 
     curr_com = kin["xipos"]
     r_com = transform_vec(curr_com - qpos_dh[None, :3], curr_root_quat[None],
                           cfg.obs_coord)
-    obs.append(r_com.reshape(-1))
+    obs.append(r_com.T.reshape(-1))
     diff_com = transform_vec(target_com - curr_com, curr_root_quat[None],
                              cfg.obs_coord)
-    obs.append(diff_com.reshape(-1))
+    obs.append(diff_com.T.reshape(-1))
 
     cur_quat = kin["xquat"]
     obs.append(quat_mul(quat_inv(hq)[None], cur_quat).reshape(-1))
     obs.append(quat_mul(quat_inv(cur_quat), target_quat).reshape(-1))
 
+    if cfg.has_shape and cfg.has_shape_obs and shape_obs is not None:
+        obs.append(shape_obs)
+    return jnp.concatenate(obs)
+
+
+def obs_v5(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
+           expert_lib, shape_obs=None, delta_t: int = 0):
+    """get_full_obs_v5 (humanoid_im.py:505-594) — the "new heading math"
+    ablation: atan2 heading, single velocity transform, correct rel_pos."""
+    from uhc_tpu.maths import de_heading_new, heading_angle_new, heading_quat_new
+
+    qpos = state.qpos
+    qvel = state.qvel
+    base_rot = jnp.asarray(cfg.base_rot, qpos.dtype)
+    tgt = expert_at(expert_lib, state.seq_idx,
+                    state.start_ind + state.cur_t + 1 + delta_t)
+    kin = E.fk(topo, model, qpos)
+    obs = []
+
+    target_qpos = tgt["qpos"]
+    target_quat = tgt["wbquat"].reshape(-1, 4)
+    target_jpos = tgt["wbpos"].reshape(-1, 3)
+    curr_root_quat = quat_mul(qpos[3:7], quat_inv(base_rot))
+    target_root_quat = quat_mul(target_qpos[3:7], quat_inv(base_rot))
+    hq_quat = heading_quat_new(curr_root_quat)
+
+    qpos_dh = qpos.at[3:7].set(de_heading_new(curr_root_quat))
+    diff_qpos = target_qpos
+    diff_qpos = diff_qpos.at[2].add(-qpos_dh[2])
+    diff_qpos = diff_qpos.at[7:].add(-qpos_dh[7:])
+    diff_qpos = diff_qpos.at[3:7].set(
+        quat_mul(target_root_quat, quat_inv(curr_root_quat)))
+    obs += [target_qpos[2:], qpos_dh[2:], diff_qpos[2:]]
+
+    qvel = qvel.at[:3].set(transform_vec(qvel[:3], curr_root_quat, cfg.obs_coord))
+    obs.append(qvel if cfg.obs_vel == "full" else qvel[:6])
+
+    rel_h = wrap_to_pi(heading_angle_new(target_root_quat)
+                       - heading_angle_new(curr_root_quat))
+    obs.append(rel_h[None])
+    rel_pos = transform_vec(target_qpos[:3] - qpos_dh[:3], curr_root_quat,
+                            cfg.obs_coord)
+    obs.append(rel_pos[:2])
+
+    curr_jpos = kin["xpos"]
+    r_jpos = transform_vec(curr_jpos - qpos_dh[None, :3],
+                           curr_root_quat[None], cfg.obs_coord)
+    obs.append(r_jpos.T.reshape(-1))
+    diff_jpos = transform_vec(target_jpos - curr_jpos, curr_root_quat[None],
+                              cfg.obs_coord)
+    obs.append(diff_jpos.T.reshape(-1))
+
+    cur_quat = kin["xquat"]
+    obs.append(quat_mul(quat_inv(hq_quat)[None], cur_quat).reshape(-1))
+    obs.append(quat_mul(quat_inv(cur_quat), target_quat).reshape(-1))
+    if cfg.has_shape and cfg.has_shape_obs and shape_obs is not None:
+        obs.append(shape_obs)
+    return jnp.concatenate(obs)
+
+
+def obs_v6(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
+           expert_lib, shape_obs=None, delta_t: int = 0):
+    """get_full_obs_v6 (humanoid_im.py:596-666) — "most concise" variant:
+    relative root pos/quat + qvel + heading-frame joint positions + local
+    joint quats. The reference's `transform_vec_batch_new(...)[1:]` drops a
+    COMPONENT row (3,nb)->(2,nb), not the root body — replicated."""
+    from uhc_tpu.maths import heading_angle_new, heading_quat_new
+
+    qpos = state.qpos
+    qvel = state.qvel
+    base_rot = jnp.asarray(cfg.base_rot, qpos.dtype)
+    tgt = expert_at(expert_lib, state.seq_idx,
+                    state.start_ind + state.cur_t + 1 + delta_t)
+    kin = E.fk(topo, model, qpos)
+    obs = []
+
+    curr_root_quat = quat_mul(qpos[3:7], quat_inv(base_rot))
+    hq_quat = heading_quat_new(curr_root_quat)
+    target_qpos = tgt["qpos"]
+    target_jpos = tgt["wbpos"].reshape(-1, 3)
+    target_root_quat = quat_mul(target_qpos[3:7], quat_inv(base_rot))
+
+    rel_h = wrap_to_pi(heading_angle_new(target_root_quat)
+                       - heading_angle_new(curr_root_quat))
+    rel_pos = transform_vec(target_qpos[:3] - qpos[:3], hq_quat)
+    obs.append(rel_pos)
+    obs.append(rel_h[None])
+    obs.append(quat_mul(target_root_quat, quat_inv(curr_root_quat)))
+
+    qvel = qvel.at[:3].set(transform_vec(qvel[:3], hq_quat))
+    obs.append(qvel if cfg.obs_vel == "full" else qvel[:6])
+
+    curr_jpos = kin["xpos"]
+    r_jpos = transform_vec(curr_jpos - qpos[None, :3], hq_quat[None])
+    obs.append(r_jpos.T[1:].reshape(-1))       # (3,nb)[1:] quirk: 2*nb feats
+    diff_jpos = transform_vec((target_jpos - curr_jpos)[1:], hq_quat[None])
+    obs.append(diff_jpos.T.reshape(-1))
+
+    target_bquat = tgt["bquat"].reshape(-1, 4)[1:]
+    cur_bquat = get_body_quat(qpos).reshape(-1, 4)[1:]
+    obs.append(cur_bquat.reshape(-1))
+    obs.append(quat_mul(quat_inv(cur_bquat), target_bquat).reshape(-1))
     if cfg.has_shape and cfg.has_shape_obs and shape_obs is not None:
         obs.append(shape_obs)
     return jnp.concatenate(obs)
@@ -327,6 +433,10 @@ def get_obs(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
         return jnp.concatenate([
             obs_v2(topo, model, cfg, state, expert_lib, shape_obs, delta_t=i)
             for i in range(0, 10 * 10, 10)])
+    if cfg.obs_v == 5:
+        return obs_v5(topo, model, cfg, state, expert_lib, shape_obs)
+    if cfg.obs_v == 6:
+        return obs_v6(topo, model, cfg, state, expert_lib, shape_obs)
     raise NotImplementedError(f"obs_v={cfg.obs_v}")
 
 
@@ -341,6 +451,11 @@ def obs_dim(topo: Topology, cfg: EnvConfig, shape_obs_dim: int = 0) -> int:
     if cfg.obs_v == 3:
         return 10 * obs_dim(topo, dataclasses.replace(cfg, obs_v=2),
                             shape_obs_dim)
+    if cfg.obs_v == 5:
+        return 3 * (nq - 2) + vel + 1 + 2 + 3 * nb * 2 + 4 * nb * 2 + shape
+    if cfg.obs_v == 6:
+        return (3 + 1 + 4 + vel + 2 * nb + 3 * (nb - 1)
+                + 4 * (nb - 1) * 2 + shape)
     raise NotImplementedError(f"obs_v={cfg.obs_v}")
 
 

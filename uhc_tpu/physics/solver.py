@@ -47,7 +47,12 @@ def exact_inverse(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def newton_update(X: jnp.ndarray, A: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
-    """Symmetrized Newton–Schulz refinement of X ≈ A⁻¹."""
+    """Symmetrized Newton–Schulz refinement of X ≈ A⁻¹.
+
+    NOTE: only converges while ‖I − AX‖ < 1; contact touchdown/liftoff can
+    change A_fd discontinuously between substeps, so the substep chain uses
+    `pcg_solve` (which cannot diverge on SPD systems) with X as a
+    preconditioner rather than trusting Newton to track A."""
     for _ in range(iters):
         AX = jnp.matmul(A, X, precision=MED)
         X = 2.0 * X - jnp.matmul(X, AX, precision=MED)
@@ -55,11 +60,44 @@ def newton_update(X: jnp.ndarray, A: jnp.ndarray, iters: int = 2) -> jnp.ndarray
     return X
 
 
+def _mv(A, x):
+    return jnp.einsum("...ij,...j->...i", A, x, precision=HI)
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
+def pcg_solve(A: jnp.ndarray, b: jnp.ndarray, X: jnp.ndarray,
+              iters: int = 5) -> jnp.ndarray:
+    """Preconditioned conjugate gradient with warm start x₀ = X·b.
+
+    X ≈ A⁻¹ (the control step's substep-0 exact inverse); a handful of
+    batched MXU matvecs per solve with no sequential scalar chains, robust
+    to arbitrary drift of A across substeps."""
+    x = _mv(X, b)
+    r = b - _mv(A, x)
+    z = _mv(X, r)
+    p = z
+    rz = _dot(r, z)
+    for _ in range(iters):
+        Ap = _mv(A, p)
+        alpha = rz / (_dot(p, Ap) + 1e-12)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = _mv(X, r)
+        rz_new = _dot(r, z)
+        beta = rz_new / (rz + 1e-12)
+        p = z + beta * p
+        rz = rz_new
+    return x
+
+
 def solve_refined(X: jnp.ndarray, A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """x = X·b with one residual refinement step."""
-    x = jnp.einsum("...ij,...j->...i", X, b, precision=HI)
-    r = b - jnp.einsum("...ij,...j->...i", A, x, precision=HI)
-    return x + jnp.einsum("...ij,...j->...i", X, r, precision=HI)
+    x = _mv(X, b)
+    r = b - _mv(A, x)
+    return x + _mv(X, r)
 
 
 def make_do_simulation(topo: Topology, cfg, newton_iters: int = 2):
@@ -133,17 +171,16 @@ def make_do_simulation(topo: Topology, cfg, newton_iters: int = 2):
 
             Xpd, Xfd = jax.lax.cond(
                 i == 0,
-                lambda _: (exact_inverse(A_pd), exact_inverse(A_fd)),
-                lambda xs: (newton_update(xs[0], A_pd, newton_iters),
-                            newton_update(xs[1], A_fd, newton_iters)),
+                lambda xs: (exact_inverse(A_pd), exact_inverse(A_fd)),
+                lambda xs: xs,
                 (Xpd, Xfd))
 
-            qacc_des = solve_refined(Xpd, A_pd, out["pd_rhs"])
+            qacc_des = pcg_solve(A_pd, out["pd_rhs"], Xpd, newton_iters + 3)
             tau = jax.vmap(
                 lambda v, e, p, d, a: E.pd_torque_from_accel(model, v, e, p, d, a)
             )(qv, out["qpos_err"], out["kp"], out["kd"], qacc_des)
             rhs = out["rhs_base"].at[:, 6:].add(tau)
-            qacc = solve_refined(Xfd, A_fd, rhs)
+            qacc = pcg_solve(A_fd, rhs, Xfd, newton_iters + 3)
             qp, qv = jax.vmap(lambda a, b, c: E.integrate(model, a, b, c))(
                 qp, qv, qacc)
             return (qp, qv, Xpd, Xfd), None

@@ -56,7 +56,8 @@ def main():
     actions = jnp.zeros((B, ndof + vf + meta))
 
     step = H.make_env_step_batched(
-        topo, cfg, use_fast_solver=os.environ.get("BENCH_EXACT", "0") != "1")
+        topo, cfg, use_fast_solver=os.environ.get("BENCH_EXACT", "0") != "1",
+        pcg_iters=int(os.environ.get("BENCH_PCG", 5)))
 
     @jax.jit
     def run(states):

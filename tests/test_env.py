@@ -110,3 +110,52 @@ def test_reset_reactive_and_noise(setup):
     assert bool(jnp.all(jnp.isfinite(states.qpos)))
     assert bool(jnp.all(states.qpos[:, 2] > 0.3))
     assert bool(jnp.all(states.qpos[:, 2] < 1.5))
+
+
+def test_reward_registry_all_finite(setup):
+    """Every registered reward family evaluates to a finite [0, +) scalar and
+    per-term vector of the documented arity on a post-step state."""
+    import dataclasses as dc
+
+    from uhc_tpu.rewards.reward_function import reward_func
+
+    topo, model, cfg, lib, aux = setup
+    rng = jax.random.PRNGKey(3)
+    state = H.env_reset(topo, model, cfg, rng, jnp.zeros((), jnp.int32), lib,
+                        aux["neutral_qpos"], aux["neutral_qvel"], train=False)
+    ndof, vf, meta = H.action_dims(topo, cfg)
+    action = 0.05 * jax.random.normal(rng, (ndof + vf + meta,))
+    state, _, _, _, _ = H.env_step(
+        topo, model, cfg, state, action, lib, aux["jpos_diffw"],
+        aux["body_diffw"])
+    arity = {"local_rfc_implicit": 6, "local_rfc_explicit": 7,
+             "world_rfc_implicit_v2": 6, "world_rfc_implicit_v3": 6}
+    for name, fn in reward_func.items():
+        c = cfg
+        if "explicit" in name:
+            c = dc.replace(cfg, residual_force_mode="explicit",
+                           residual_force_bodies_num=1)
+        r, terms = fn(topo, model, c, state, action, lib,
+                      {"jpos_diffw": aux["jpos_diffw"],
+                       "body_diffw": aux["body_diffw"]})
+        assert np.isfinite(float(r)), name
+        assert float(r) >= 0.0, name
+        assert terms.shape == (arity.get(name, 5),), (name, terms.shape)
+        assert bool(jnp.all(jnp.isfinite(terms))), name
+
+
+def test_obs_versions_dims(setup):
+    """Every implemented obs version matches its computed dim and is
+    finite."""
+    import dataclasses as dc
+
+    topo, model, cfg, lib, aux = setup
+    rng = jax.random.PRNGKey(1)
+    state = H.env_reset(topo, model, cfg, rng, jnp.zeros((), jnp.int32), lib,
+                        aux["neutral_qpos"], aux["neutral_qvel"], train=False)
+    for v in (0, 1, 2, 3, 4, 5, 6):
+        c = dc.replace(cfg, obs_v=v)
+        obs = H.get_obs(topo, model, c, state, lib)
+        assert obs.shape == (H.obs_dim(topo, c),), (v, obs.shape,
+                                                    H.obs_dim(topo, c))
+        assert bool(jnp.all(jnp.isfinite(obs))), v

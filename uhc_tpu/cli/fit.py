@@ -1,0 +1,84 @@
+"""Per-sequence fine-tuning CLI — scripts/fit_uhc.py twin.
+
+Fine-tunes a (possibly pretrained) policy on a single motion sequence until
+it imitates it successfully, then saves a per-sequence snapshot
+(reference: fit_uhc.py:98-134 loop + AgentCopycat.fit_single_key, saving
+results/.../_singles/{key}.p).
+
+Usage:
+  python -m uhc_tpu.cli.fit --cfg uhc_implicit --key standing_neutral \
+      [--epoch N to warm-start] [--max-epochs 500] [--succ-threshold 0.95]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.getcwd())
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--motion-file",
+                   default="/root/reference/sample_data/standing_neutral.pkl")
+    p.add_argument("--key", required=True)
+    p.add_argument("--epoch", type=int, default=0, help="warm-start epoch")
+    p.add_argument("--max-epochs", type=int, default=500)
+    p.add_argument("--succ-threshold", type=float, default=0.95)
+    p.add_argument("--num-envs", type=int, default=512)
+    p.add_argument("--horizon", type=int, default=48)
+    args = p.parse_args()
+
+    import numpy as np
+    from uhc_tpu.config.config import Config
+    from uhc_tpu.learn.agent import CopycatAgent
+    from uhc_tpu.utils.logger import create_logger
+
+    try:
+        cfg = Config.from_yaml(args.cfg)
+    except FileNotFoundError:
+        cfg = Config(cfg_id=args.cfg)
+
+    agent = CopycatAgent(cfg, args.motion_file, num_envs=args.num_envs,
+                         horizon=args.horizon)
+    logger = create_logger(os.path.join(agent.results_dir, "log"))
+    if args.epoch > 0:
+        agent.load_checkpoint(args.epoch)
+
+    if args.key not in agent.seq_keys:
+        raise SystemExit(f"key {args.key!r} not in {agent.seq_keys}")
+    key_idx = agent.seq_keys.index(args.key)
+    # pin the on-device sampler to this sequence (fit_single_key semantics)
+    one_hot = np.full(len(agent.seq_keys), -1e9, np.float32)
+    one_hot[key_idx] = 0.0
+    agent.sampler.logits = lambda: one_hot  # type: ignore[method-assign]
+
+    singles = os.path.join(agent.results_dir, "_singles")
+    os.makedirs(singles, exist_ok=True)
+    for i in range(args.epoch, args.epoch + args.max_epochs):
+        stats = agent.optimize_policy(i)
+        succ = float(stats["success_rate"])
+        logger.info(f"fit {args.key} epoch {i}: "
+                    f"R={float(stats['reward_mean']):.4f} succ={succ:.3f}")
+        if succ >= args.succ_threshold:
+            logger.info(f"success threshold reached at epoch {i}")
+            break
+    import pickle
+
+    import jax
+
+    with open(os.path.join(singles, f"{args.key}.p"), "wb") as f:
+        pickle.dump({
+            "policy_params": jax.device_get(agent.ppo_state.policy_params),
+            "value_params": jax.device_get(agent.ppo_state.value_params),
+            "log_std": jax.device_get(agent.log_std),
+            "running_stats": jax.device_get(
+                __import__("dataclasses").asdict(agent.rs)),
+        }, f)
+    logger.info(f"saved {singles}/{args.key}.p")
+
+
+if __name__ == "__main__":
+    main()

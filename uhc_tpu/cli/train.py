@@ -30,6 +30,10 @@ def main():
     p.add_argument("--max-seq-len", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true",
                    help="shard envs over all local devices")
+    p.add_argument("--agent", choices=("copycat", "uhm"), default="copycat",
+                   help="agent registry (uhc/agents/__init__.py agent_dict)")
+    p.add_argument("--cc-checkpoint", default=None,
+                   help="frozen copycat checkpoint for --agent uhm")
     args = p.parse_args()
 
     import jax
@@ -47,12 +51,21 @@ def main():
         from jax.sharding import Mesh
         mesh = Mesh(jax.devices(), ("data",))
 
-    agent = CopycatAgent(cfg, args.motion_file, num_envs=args.num_envs,
-                         horizon=args.horizon, mesh=mesh, seed=args.seed,
+    if args.agent == "uhm":
+        from uhc_tpu.learn.agent_uhm import UHMAgent
+
+        agent = UHMAgent(cfg, args.motion_file,
+                         cc_checkpoint_path=args.cc_checkpoint,
+                         num_envs=args.num_envs, horizon=args.horizon,
                          max_seq_len=args.max_seq_len)
-    logger = create_logger(os.path.join(agent.results_dir, "log"))
-    logger.info(f"cfg {cfg.cfg_id}: obs_dim={agent.obs_dim} "
-                f"action_dim={agent.action_dim} seqs={len(agent.seq_keys)}")
+        logger = create_logger(os.path.join(agent.results_dir, "log"))
+    else:
+        agent = CopycatAgent(cfg, args.motion_file, num_envs=args.num_envs,
+                             horizon=args.horizon, mesh=mesh, seed=args.seed,
+                             max_seq_len=args.max_seq_len)
+        logger = create_logger(os.path.join(agent.results_dir, "log"))
+        logger.info(f"cfg {cfg.cfg_id}: obs_dim={agent.obs_dim} "
+                    f"action_dim={agent.action_dim} seqs={len(agent.seq_keys)}")
 
     if args.epoch > 0:
         agent.load_checkpoint(args.epoch)
@@ -60,13 +73,22 @@ def main():
     epochs = args.epochs if args.epochs is not None else cfg.num_epoch
     for i in range(args.epoch, epochs):
         stats = agent.optimize_policy(i)
-        logger.info(
-            f"epoch {i}: R={float(stats['reward_mean']):.4f} "
-            f"succ={float(stats['success_rate']):.3f} "
-            f"eps={int(stats['episodes'])} "
-            f"len={float(stats['avg_eps_len']):.1f} "
-            f"sps={float(stats['steps_per_sec']):.0f} "
-            f"T={float(stats['T_total']):.2f}s")
+        if args.agent == "uhm":
+            parts = [f"epoch {i}:"]
+            if "reward_mean" in stats:
+                parts.append(f"R={float(stats['reward_mean']):.4f}")
+            if "supervised_loss" in stats:
+                parts.append(f"sup={float(stats['supervised_loss']):.4f}")
+            parts.append(f"T={float(stats['T_total']):.2f}s")
+            logger.info(" ".join(parts))
+        else:
+            logger.info(
+                f"epoch {i}: R={float(stats['reward_mean']):.4f} "
+                f"succ={float(stats['success_rate']):.3f} "
+                f"eps={int(stats['episodes'])} "
+                f"len={float(stats['avg_eps_len']):.1f} "
+                f"sps={float(stats['steps_per_sec']):.0f} "
+                f"T={float(stats['T_total']):.2f}s")
         if (i + 1) % cfg.save_n_epochs == 0 or i + 1 == epochs:
             agent.save_checkpoint(i + 1)
             logger.info(f"saved checkpoint @ {i + 1}")

@@ -65,6 +65,17 @@ class EnvConfig:
     k_e: float = 20.0
     k_c: float = 1000.0
     k_vf: float = 1.0
+    # remaining reward_weights entries (local/v2/v3 reward families use
+    # ws.get(...) lookups with per-function defaults, reward_function.py:437-
+    # 760); kept as a sorted tuple of pairs so EnvConfig stays hashable.
+    extra_rw: Tuple[Tuple[str, Any], ...] = ()
+
+    def rw(self, name: str, default):
+        """reward_weights.get(name, default) over the raw YAML dict."""
+        for k, v in self.extra_rw:
+            if k == name:
+                return v
+        return default
 
     @property
     def ctrl_dt(self) -> float:
@@ -168,6 +179,9 @@ class Config:
             k_p=rw.get("k_p", 2.0), k_v=rw.get("k_v", 0.005),
             k_e=rw.get("k_e", 20.0), k_c=rw.get("k_c", 1000.0),
             k_vf=rw.get("k_vf", 1.0),
+            extra_rw=tuple(sorted(
+                (k, tuple(v) if isinstance(v, list) else v)
+                for k, v in rw.items())),
         )
         log_std = d.get("log_std", -2.3)
         lr = d.get("policy_lr", 5e-5)

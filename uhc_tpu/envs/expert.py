@@ -82,3 +82,25 @@ def qpos_fk(topo: Topology, model: Model, qpos_seq: jnp.ndarray, fps: float = 30
         "head_height_lb": jnp.min(wbpos[:, 13, 2]),
         "len": T,
     }
+
+HEAD_BODY_IDX = 13
+
+
+def qpos_fk_frame(topo: Topology, model: Model, qpos: jnp.ndarray):
+    """Single-frame FK target dict (numpy_smpl_humanoid.Humanoid.qpos_fk on
+    one pose, as used by HumanoidKinEnv.step, humanoid_kin_v1.py:307).
+    Velocity fields are zero (no previous frame)."""
+    kin = E.fk(topo, model, qpos)
+    joint_quats = quat_from_euler_zyx(qpos[7:].reshape(-1, 3))
+    bquat = jnp.concatenate([qpos[None, 3:7], joint_quats], axis=0)
+    ee_wpos = kin["xpos"][SMPL_EE_INDICES]
+    return {
+        "qpos": qpos,
+        "wbpos": kin["xpos"].reshape(-1),
+        "wbquat": kin["xquat"].reshape(-1),
+        "bquat": bquat.reshape(-1),
+        "body_com": kin["xipos"].reshape(-1),
+        "ee_wpos": ee_wpos.reshape(-1),
+        "head_pose": jnp.concatenate([kin["xpos"][HEAD_BODY_IDX],
+                                      kin["xquat"][HEAD_BODY_IDX]]),
+    }

@@ -47,6 +47,7 @@ from uhc_tpu.smpl.constants import SMPL_EE_INDICES
 class EnvState:
     qpos: Any          # (nq,)
     qvel: Any          # (nv,)
+    prev_qpos: Any     # (nq,) qpos at the previous control step (fd rewards)
     cur_t: Any         # int32 scalar
     start_ind: Any     # int32 scalar
     seq_idx: Any       # int32 scalar — which expert sequence
@@ -187,13 +188,14 @@ def get_body_quat(qpos):
 
 
 def obs_v2(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
-           expert_lib, shape_obs=None, delta_t: int = 0):
+           expert_lib, shape_obs=None, delta_t: int = 0, tgt=None):
     """get_full_obs_v2 (humanoid_im.py:419-503), feature-order exact."""
     qpos = state.qpos
     qvel = state.qvel
     base_rot = jnp.asarray(cfg.base_rot, qpos.dtype)
-    tgt = expert_at(expert_lib, state.seq_idx,
-                    state.start_ind + state.cur_t + 1 + delta_t)
+    if tgt is None:
+        tgt = expert_at(expert_lib, state.seq_idx,
+                        state.start_ind + state.cur_t + 1 + delta_t)
 
     kin = E.fk(topo, model, qpos)
     obs = []
@@ -252,14 +254,15 @@ def obs_v2(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
 
 
 def obs_v1(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
-           expert_lib, shape_obs=None, delta_t: int = 0):
+           expert_lib, shape_obs=None, delta_t: int = 0, tgt=None):
     """get_full_obs_v1 (humanoid_im.py:323-417) — obs_v2 plus body-COM
     target/diff blocks (the release uhc_implicit config uses obs_v=1)."""
     qpos = state.qpos
     qvel = state.qvel
     base_rot = jnp.asarray(cfg.base_rot, qpos.dtype)
-    tgt = expert_at(expert_lib, state.seq_idx,
-                    state.start_ind + state.cur_t + 1 + delta_t)
+    if tgt is None:
+        tgt = expert_at(expert_lib, state.seq_idx,
+                        state.start_ind + state.cur_t + 1 + delta_t)
 
     kin = E.fk(topo, model, qpos)
     obs = []
@@ -319,8 +322,102 @@ def obs_v1(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
     return jnp.concatenate(obs)
 
 
+def obs_v0(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
+           expert_lib, shape_obs=None, delta_t: int = 0, tgt=None):
+    """get_full_obs (humanoid_im.py:290-318) — the plain v0 layout:
+    [heading?] deheaded qpos[2:], qvel, expert kin pose at cur_t, [phase?]."""
+    qpos = state.qpos
+    qvel = state.qvel
+    if tgt is None:
+        tgt = expert_at(expert_lib, state.seq_idx,
+                        state.start_ind + state.cur_t + delta_t)
+    qvel = qvel.at[:3].set(transform_vec(qvel[:3], qpos[3:7], cfg.obs_coord))
+    obs = []
+    if cfg.obs_heading:
+        obs.append(heading_angle(qpos[3:7])[None])
+    if cfg.root_deheading:
+        qpos = qpos.at[3:7].set(de_heading(qpos[3:7]))
+    obs.append(qpos[2:])
+    obs.append(qvel if cfg.obs_vel == "full" else qvel[:6])
+    obs.append(tgt["qpos"][7:])    # get_expert_kin_pose (humanoid_im.py:1350)
+    if cfg.obs_phase:
+        phase = state.cur_t.astype(qpos.dtype) / tgt["len"].astype(qpos.dtype)
+        obs.append(phase[None])
+    return jnp.concatenate(obs)
+
+
+def obs_v4(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
+           expert_lib, shape_obs=None, delta_t: int = 0, tgt=None):
+    """get_full_obs_v4 (humanoid_im.py:768-863) — global/local split
+    flattened as concat([global, local.ravel()]); local rows are per
+    non-root body [target pose | cur pose | diff pose | joint qvel | r_jpos |
+    diff_jpos | heading-rel quat | rel quat] hstacked (23, 26)."""
+    qpos = state.qpos
+    qvel = state.qvel
+    base_rot = jnp.asarray(cfg.base_rot, qpos.dtype)
+    if tgt is None:
+        tgt = expert_at(expert_lib, state.seq_idx,
+                        state.start_ind + state.cur_t + 1 + delta_t)
+    kin = E.fk(topo, model, qpos)
+    g, l = [], []
+
+    qvel = qvel.at[:3].set(transform_vec(qvel[:3], qpos[3:7], cfg.obs_coord))
+    curr_root_quat = quat_mul(qpos[3:7], quat_inv(base_rot))
+    hq = heading_quat(curr_root_quat)
+    g.append(hq)
+
+    target_qpos = tgt["qpos"]
+    target_quat = tgt["wbquat"].reshape(-1, 4)
+    target_jpos = tgt["wbpos"].reshape(-1, 3)
+    target_root_quat = quat_mul(target_qpos[3:7], quat_inv(base_rot))
+
+    qpos_dh = qpos.at[3:7].set(de_heading(curr_root_quat))
+    diff_qpos = target_qpos
+    diff_qpos = diff_qpos.at[2].add(-qpos_dh[2])
+    diff_qpos = diff_qpos.at[7:].add(-qpos_dh[7:])
+    diff_qpos = diff_qpos.at[3:7].set(
+        quat_mul(target_root_quat, quat_inv(curr_root_quat)))
+
+    g += [target_qpos[2:7], qpos_dh[2:7], diff_qpos[2:7]]
+    l += [target_qpos[7:].reshape(-1, 3), qpos_dh[7:].reshape(-1, 3),
+          diff_qpos[7:].reshape(-1, 3)]
+
+    qvel = qvel.at[:3].set(
+        transform_vec(qvel[:3], curr_root_quat, cfg.obs_coord))
+    if cfg.obs_vel == "root":
+        g.append(qvel[:6])
+    else:
+        g.append(qvel[:6])
+        l.append(qvel[6:].reshape(-1, 3))
+
+    rel_h = wrap_to_pi(heading_angle(target_root_quat)
+                       - heading_angle(curr_root_quat))
+    g.append(rel_h[None])
+    # v4 reads target qpos[:3] here — the corrected rel_pos (:822)
+    rel_pos = target_qpos[:3] - qpos_dh[:3]
+    rel_pos = transform_vec(rel_pos, curr_root_quat, cfg.obs_coord)
+    g.append(rel_pos[:2])
+
+    curr_jpos = kin["xpos"]
+    r_jpos = transform_vec(curr_jpos - qpos_dh[None, :3],
+                           curr_root_quat[None], cfg.obs_coord)
+    l.append(r_jpos[1:])        # root body dropped (row-major here, :832)
+    diff_jpos = transform_vec(target_jpos - curr_jpos, curr_root_quat[None],
+                              cfg.obs_coord)
+    l.append(diff_jpos[1:])
+
+    cur_quat = kin["xquat"]
+    l.append(quat_mul(quat_inv(hq)[None], cur_quat)[1:])
+    l.append(quat_mul(quat_inv(cur_quat), target_quat)[1:])
+
+    if cfg.has_shape and shape_obs is not None:
+        g.append(shape_obs)
+    local = jnp.concatenate(l, axis=1)      # (nb-1, 26)
+    return jnp.concatenate(g + [local.reshape(-1)])
+
+
 def obs_v5(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
-           expert_lib, shape_obs=None, delta_t: int = 0):
+           expert_lib, shape_obs=None, delta_t: int = 0, tgt=None):
     """get_full_obs_v5 (humanoid_im.py:505-594) — the "new heading math"
     ablation: atan2 heading, single velocity transform, correct rel_pos."""
     from uhc_tpu.maths import de_heading_new, heading_angle_new, heading_quat_new
@@ -328,8 +425,9 @@ def obs_v5(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
     qpos = state.qpos
     qvel = state.qvel
     base_rot = jnp.asarray(cfg.base_rot, qpos.dtype)
-    tgt = expert_at(expert_lib, state.seq_idx,
-                    state.start_ind + state.cur_t + 1 + delta_t)
+    if tgt is None:
+        tgt = expert_at(expert_lib, state.seq_idx,
+                        state.start_ind + state.cur_t + 1 + delta_t)
     kin = E.fk(topo, model, qpos)
     obs = []
 
@@ -375,7 +473,7 @@ def obs_v5(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
 
 
 def obs_v6(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
-           expert_lib, shape_obs=None, delta_t: int = 0):
+           expert_lib, shape_obs=None, delta_t: int = 0, tgt=None):
     """get_full_obs_v6 (humanoid_im.py:596-666) — "most concise" variant:
     relative root pos/quat + qvel + heading-frame joint positions + local
     joint quats. The reference's `transform_vec_batch_new(...)[1:]` drops a
@@ -385,8 +483,9 @@ def obs_v6(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
     qpos = state.qpos
     qvel = state.qvel
     base_rot = jnp.asarray(cfg.base_rot, qpos.dtype)
-    tgt = expert_at(expert_lib, state.seq_idx,
-                    state.start_ind + state.cur_t + 1 + delta_t)
+    if tgt is None:
+        tgt = expert_at(expert_lib, state.seq_idx,
+                        state.start_ind + state.cur_t + 1 + delta_t)
     kin = E.fk(topo, model, qpos)
     obs = []
 
@@ -422,21 +521,29 @@ def obs_v6(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
 
 
 def get_obs(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
-            expert_lib, shape_obs=None):
-    """Observation dispatch (humanoid_im.py:269 get_obs)."""
+            expert_lib, shape_obs=None, tgt=None):
+    """Observation dispatch (humanoid_im.py:269 get_obs). `tgt` overrides
+    the expert frame (used by the kinematic env, whose "expert" is the FK
+    of its own integrated target pose, humanoid_kin_v1.py:144-151)."""
+    if cfg.obs_v == 0:
+        return obs_v0(topo, model, cfg, state, expert_lib, shape_obs, tgt=tgt)
     if cfg.obs_v == 1:
-        return obs_v1(topo, model, cfg, state, expert_lib, shape_obs)
+        return obs_v1(topo, model, cfg, state, expert_lib, shape_obs, tgt=tgt)
     if cfg.obs_v == 2:
-        return obs_v2(topo, model, cfg, state, expert_lib, shape_obs)
+        return obs_v2(topo, model, cfg, state, expert_lib, shape_obs, tgt=tgt)
     if cfg.obs_v == 3:
         # stacked future frames (humanoid_im.py:758): fut_frames × skip
         return jnp.concatenate([
             obs_v2(topo, model, cfg, state, expert_lib, shape_obs, delta_t=i)
             for i in range(0, 10 * 10, 10)])
+    if cfg.obs_v == 4:
+        return obs_v4(topo, model, cfg, state, expert_lib, shape_obs, tgt=tgt)
     if cfg.obs_v == 5:
-        return obs_v5(topo, model, cfg, state, expert_lib, shape_obs)
+        return obs_v5(topo, model, cfg, state, expert_lib, shape_obs, tgt=tgt)
     if cfg.obs_v == 6:
-        return obs_v6(topo, model, cfg, state, expert_lib, shape_obs)
+        return obs_v6(topo, model, cfg, state, expert_lib, shape_obs, tgt=tgt)
+    # obs_v "v2_quat" requires the ball-joint (quaternion) robot topology
+    # (config/copycat_ball); deferred with that model family.
     raise NotImplementedError(f"obs_v={cfg.obs_v}")
 
 
@@ -444,6 +551,13 @@ def obs_dim(topo: Topology, cfg: EnvConfig, shape_obs_dim: int = 0) -> int:
     nb, nq, nv = topo.nbody, topo.nq, topo.nv
     vel = nv if cfg.obs_vel == "full" else 6
     shape = shape_obs_dim if (cfg.has_shape and cfg.has_shape_obs) else 0
+    if cfg.obs_v == 0:
+        return ((1 if cfg.obs_heading else 0) + (nq - 2) + vel
+                + topo.ndof + (1 if cfg.obs_phase else 0))
+    if cfg.obs_v == 4:
+        # global 4+5*3+6+3 (+shape; v4 checks has_shape only, :859) +
+        # local (nb-1)*(3*3 + 3 + 3*2 + 4*2)
+        return 28 + (shape_obs_dim if cfg.has_shape else 0) + (nb - 1) * 26
     if cfg.obs_v == 1:
         return 4 + 3 * (nq - 2) + vel + 1 + 2 + 3 * nb * 4 + 4 * nb * 2 + shape
     if cfg.obs_v == 2:
@@ -530,13 +644,14 @@ def env_step(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
     qpos, qvel = do_simulation(topo, model, cfg, state.qpos, state.qvel,
                                action, tgt["qpos"][7:], rfc_rate)
     state = dataclasses.replace(state, qpos=qpos, qvel=qvel,
+                                prev_qpos=state.qpos,
                                 cur_t=state.cur_t + 1, prev_bquat=prev_bquat)
     return env_post_step(topo, model, cfg, state, action, expert_lib,
                          jpos_diffw, body_diffw, train)
 
 
 def make_env_step_batched(topo: Topology, cfg: EnvConfig,
-                          use_fast_solver: bool = True):
+                          use_fast_solver: bool = True, pcg_iters: int = 5):
     """Batch-level control step: the physics substep chain runs at batch
     level (enabling the maintained-inverse solver,
     uhc_tpu.physics.solver.make_do_simulation); obs/reward/termination are
@@ -544,7 +659,7 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
     if use_fast_solver:
         from uhc_tpu.physics.solver import make_do_simulation
 
-        fast_sim = make_do_simulation(topo, cfg)
+        fast_sim = make_do_simulation(topo, cfg, pcg_iters)
     else:
         fast_sim = None
 
@@ -563,8 +678,8 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
                     topo, model, cfg, qp, qv, a, tb, rfc_rate))(
                 states.qpos, states.qvel, actions, target_base)
         states = dataclasses.replace(
-            states, qpos=qpos, qvel=qvel, cur_t=states.cur_t + 1,
-            prev_bquat=prev_bquat)
+            states, qpos=qpos, qvel=qvel, prev_qpos=states.qpos,
+            cur_t=states.cur_t + 1, prev_bquat=prev_bquat)
         return jax.vmap(
             lambda s, a: env_post_step(topo, model, cfg, s, a, expert_lib,
                                        jpos_diffw, body_diffw, train))(
@@ -614,7 +729,7 @@ def env_reset(topo: Topology, model: Model, cfg: EnvConfig, rng, seq_idx,
         init_qvel = jnp.where(use_neutral, neutral_qvel, init_qvel)
     zero = jnp.zeros((), jnp.int32)
     state = EnvState(
-        qpos=init_qpos, qvel=init_qvel, cur_t=zero,
+        qpos=init_qpos, qvel=init_qvel, prev_qpos=init_qpos, cur_t=zero,
         start_ind=jnp.asarray(start_ind, jnp.int32),
         seq_idx=jnp.asarray(seq_idx, jnp.int32),
         prev_bquat=get_body_quat(init_qpos),

@@ -105,8 +105,12 @@ class CopycatAgent:
             self.value_opt, cfg.clip_epsilon, cfg.num_optim_epoch,
             min(cfg.mini_batch_size, num_envs * horizon),
             fix_std=cfg.fix_std)
+        # env_states is NOT donated: env_reset aliases prev_qpos to qpos in
+        # fresh states (same buffer), and donating an aliased pytree raises
+        # "Attempt to donate the same buffer twice". The state arrays are
+        # tiny (B×nq floats) — donation buys nothing there anyway.
         self._train_step = jax.jit(self._train_step_impl,
-                                   donate_argnums=(0, 1, 2, 3))
+                                   donate_argnums=(0, 1, 2))
         self.epoch = 0
 
         if mesh is not None:

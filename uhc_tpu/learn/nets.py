@@ -111,6 +111,106 @@ def policy_mcp_mean(params, x, activation):
     return jnp.einsum("bp,pba->ba", w, means)
 
 
+# -- TCN (khrylib/models/tcn.py twin) ------------------------------------------
+
+
+def tcn_init(key, num_inputs: int, num_channels: Sequence[int],
+             kernel_size: int = 3, dtype=jnp.float32):
+    """Dilated temporal conv net: per level a residual block of two convs
+    (dilation 2^i) + optional 1x1 downsample (TemporalConvNet)."""
+    layers = []
+    last = num_inputs
+    for i, ch in enumerate(num_channels):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        block = {
+            "conv1": {"w": 0.01 * jax.random.normal(
+                k1, (ch, last, kernel_size), dtype),
+                "b": jnp.zeros((ch,), dtype)},
+            "conv2": {"w": 0.01 * jax.random.normal(
+                k2, (ch, ch, kernel_size), dtype),
+                "b": jnp.zeros((ch,), dtype)},
+        }
+        if last != ch:
+            block["downsample"] = {
+                "w": 0.01 * jax.random.normal(k3, (ch, last, 1), dtype),
+                "b": jnp.zeros((ch,), dtype)}
+        layers.append(block)
+        last = ch
+    return layers
+
+
+def _conv1d(p, x, dilation: int, causal: bool):
+    """x: (B, C_in, T) -> (B, C_out, T), 'same' length (Chomp1d for
+    causal)."""
+    k = p["w"].shape[-1]
+    pad = (k - 1) * dilation
+    padding = [(pad, 0)] if causal else [(pad // 2, pad - pad // 2)]
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(1,), padding=padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return y + p["b"][None, :, None]
+
+
+def tcn_apply(params, x, causal: bool = False):
+    """(B, C, T) -> (B, C_last, T) (TemporalConvNet.forward)."""
+    for i, block in enumerate(params):
+        dilation = 2 ** i
+        out = jax.nn.relu(_conv1d(block["conv1"], x, dilation, causal))
+        out = jax.nn.relu(_conv1d(block["conv2"], out, dilation, causal))
+        res = (_conv1d(block["downsample"], x, 1, causal)
+               if "downsample" in block else x)
+        x = jax.nn.relu(out + res)
+    return x
+
+
+# -- Discriminator (khrylib/models/discriminator.py twin) -----------------------
+
+
+def discriminator_init(key, in_dim: int, hidden: Sequence[int],
+                       dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {"trunk": mlp_init(k1, in_dim, hidden, dtype),
+            "logic": _linear_init(k2, hidden[-1], 1, scale=0.1, dtype=dtype)}
+
+
+def discriminator_apply(params, x, activation: str = "relu"):
+    h = mlp_apply(params["trunk"], x, activation)
+    return jax.nn.sigmoid(h @ params["logic"]["w"] + params["logic"]["b"])[..., 0]
+
+
+# -- GRU (khrylib/models/rnn.py step-mode twin) --------------------------------
+
+
+def gru_init(key, in_dim: int, hidden_dim: int, dtype=jnp.float32):
+    """GRU cell parameters (torch nn.GRUCell layout: reset/update/new gates
+    stacked)."""
+    k1, k2 = jax.random.split(key)
+    lim = 1.0 / jnp.sqrt(hidden_dim)
+    u = lambda k, shape: jax.random.uniform(k, shape, dtype, -lim, lim)
+    ki, kh = jax.random.split(k1)
+    kbi, kbh = jax.random.split(k2)
+    return {
+        "w_ih": u(ki, (in_dim, 3 * hidden_dim)),
+        "w_hh": u(kh, (hidden_dim, 3 * hidden_dim)),
+        "b_ih": u(kbi, (3 * hidden_dim,)),
+        "b_hh": u(kbh, (3 * hidden_dim,)),
+    }
+
+
+def gru_apply(params, x, h):
+    """One GRU step: (B, in), (B, H) -> (B, H)."""
+    H = h.shape[-1]
+    gi = x @ params["w_ih"] + params["b_ih"]
+    gh = h @ params["w_hh"] + params["b_hh"]
+    i_r, i_z, i_n = gi[..., :H], gi[..., H:2 * H], gi[..., 2 * H:]
+    h_r, h_z, h_n = gh[..., :H], gh[..., H:2 * H], gh[..., 2 * H:]
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
 # -- Policy distribution helpers ---------------------------------------------
 
 
@@ -128,6 +228,38 @@ def gaussian_kl(log_std):
     """KL of the (detached) dist against itself — matches DiagGaussian.kl()
     being 0 at evaluation point; kept for API parity."""
     return jnp.zeros(())
+
+
+# -- Discrete policy (khrylib/rl/core/policy_disc.py:6 twin) -------------------
+
+
+def policy_discrete_init(key, state_dim, action_num, hidden,
+                         dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {"trunk": mlp_init(k1, state_dim, hidden, dtype),
+            "head": _linear_init(k2, hidden[-1], action_num, scale=0.1,
+                                 dtype=dtype)}
+
+
+def policy_discrete_logits(params, x, activation: str = "relu"):
+    h = mlp_apply(params["trunk"], x, activation)
+    return h @ params["head"]["w"] + params["head"]["b"]
+
+
+def categorical_sample(key, logits):
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+def categorical_log_prob(logits, action):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.take_along_axis(logp, action[..., None], axis=-1)[..., 0]
+
+
+def categorical_kl(logits_p, logits_q):
+    """KL(p ‖ q) between two categorical heads (distributions.py:29)."""
+    lp = jax.nn.log_softmax(logits_p, axis=-1)
+    lq = jax.nn.log_softmax(logits_q, axis=-1)
+    return jnp.sum(jnp.exp(lp) * (lp - lq), axis=-1)
 
 
 # -- Value -------------------------------------------------------------------

@@ -311,6 +311,16 @@ def multi_quat_norm(nq: jnp.ndarray) -> jnp.ndarray:
     return jnp.arccos(jnp.clip(w, -1.0, 1.0))
 
 
+def multi_quat_norm_v2(nq: jnp.ndarray) -> jnp.ndarray:
+    """Distance-from-identity per joint: ‖(|w|−1, x, y, z)‖ over a flat
+    (..., 4*J) layout (math_utils.multi_quat_norm_v2 — used by the UHM
+    dynamic-supervision rewards)."""
+    s = nq.shape
+    q = nq.reshape(s[:-1] + (-1, 4))
+    d = q.at[..., 0].set(jnp.abs(q[..., 0]) - 1.0)
+    return jnp.linalg.norm(d, axis=-1)
+
+
 def angvel_fd(prev_q: jnp.ndarray, cur_q: jnp.ndarray, dt) -> jnp.ndarray:
     """Finite-difference angular velocity of per-joint quats, flat (...,4J) ->
     (...,3J) (math_utils.get_angvel_fd): rotvec(q_cur ⊗ q_prev⁻¹)/dt."""

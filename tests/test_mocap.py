@@ -77,3 +77,18 @@ def test_interpolated_traj():
     # 4/120 s of motion at 60 Hz -> 3 samples (floor(T/dt)+1)
     assert out.shape == (3, 5)
     np.testing.assert_allclose(out[1, 0], 2.0)  # halfway = frame 2
+
+
+def test_visualizer_renders_gif(tmp_path):
+    """Headless stick-figure renderer writes an animation file."""
+    import numpy as np
+
+    from uhc_tpu.utils.visualizer import render_comparison
+
+    rng = np.random.default_rng(0)
+    pred = rng.normal(scale=0.2, size=(4, 24, 3)) + [0, 0, 1.0]
+    gt = pred + 0.05
+    out = render_comparison(pred, gt, str(tmp_path / "clip.gif"), stride=2)
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 0

@@ -295,6 +295,7 @@ class UHMAgent:
         self.rng, k1, k2, k3 = jax.random.split(self.rng, 4)
         n_seq = len(self.seq_keys)
         lengths = np.asarray(self.context_lib["len"])
+        window = min(window, int(lengths.min()))  # clamp to shortest clip
         sidx = np.asarray(jax.random.randint(k1, (batch,), 0, n_seq))
         starts = np.asarray([
             np.random.randint(0, max(int(lengths[s]) - window, 1))

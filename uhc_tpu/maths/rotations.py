@@ -153,12 +153,18 @@ def quat_from_axis_angle(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_from_rotvec(rv: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Exponential map: rotation vector (axis*angle) -> quaternion."""
-    angle = jnp.linalg.norm(rv, axis=-1, keepdims=True)
+    """Exponential map: rotation vector (axis*angle) -> quaternion.
+
+    Gradient-safe at rv=0: the norm is taken through a double-where so
+    d/d rv does not produce NaN (sqrt'(0)) — required by the camera-fitting
+    losses (smpl/humanoid_batch.py) that differentiate through zero poses."""
+    sq = jnp.sum(rv * rv, axis=-1, keepdims=True)
+    safe = sq > eps * eps
+    angle = jnp.where(safe, jnp.sqrt(jnp.where(safe, sq, 1.0)), 0.0)
     half = 0.5 * angle
-    # sin(x)/x is stable around 0 via where-guard
-    small = angle < eps
-    k = jnp.where(small, 0.5 - angle * angle / 48.0, jnp.sin(half) / jnp.maximum(angle, eps))
+    # sin(x)/x is stable around 0 via the small-angle series
+    k = jnp.where(safe, jnp.sin(half) / jnp.where(safe, angle, 1.0),
+                  0.5 - sq / 48.0)
     return jnp.concatenate([jnp.cos(half), rv * k], axis=-1)
 
 

@@ -23,6 +23,10 @@ class EnvConfig:
     """Static env hyper-parameters (hashable; closed over by jit)."""
 
     obs_v: int = 2
+    # obs_v3 future-frame stacking (reference humanoid_im.py:759-762 reads
+    # cc_cfg fut_frames / skip)
+    fut_frames: int = 10
+    obs_skip: int = 10
     obs_coord: str = "root"
     obs_vel: str = "full"
     obs_phase: bool = False
@@ -44,6 +48,10 @@ class EnvConfig:
     residual_force_mode: str = "implicit"
     residual_force_torque: bool = True
     residual_force_bodies_num: int = 1
+    # explicit-RFC contact gating / projection (humanoid_im.py:1083-1108)
+    residual_contact_only: bool = False
+    residual_contact_only_ground: bool = False
+    residual_contact_projection: bool = False
     rfc_decay: bool = False
     meta_pd: bool = True
     meta_pd_joint: bool = False
@@ -51,6 +59,10 @@ class EnvConfig:
     t_max: int = 300
     has_shape: bool = False
     has_shape_obs: bool = True
+    # shape-obs composition (humanoid_im.py:1390 get_expert_shape_and_gender)
+    has_pca: bool = True
+    has_weight: bool = False
+    has_bone_length: bool = False
     frame_skip: int = 15
     base_rot: Tuple[float, ...] = (0.7071, 0.7071, 0.0, 0.0)
     # reward
@@ -113,6 +125,9 @@ class Config:
     sampling_temp: float = 0.2
     sampling_freq: float = 0.75
     end_reward: bool = False
+    # adv_clip is parsed for YAML parity but — exactly like the reference
+    # (copycat_config.py:31 is its only occurrence; no agent reads it) —
+    # intentionally unused.
     adv_clip: float = float("inf")
     # adaptive schedules (copycat_config.py:151 update_adaptive_params)
     adp_iter_cp: Tuple[int, ...] = (0,)
@@ -143,6 +158,8 @@ class Config:
         rw = d.get("reward_weights") or {}
         env = EnvConfig(
             obs_v=d.get("obs_v", 0),
+            fut_frames=d.get("fut_frames", 10),
+            obs_skip=d.get("skip", 10),
             obs_coord=d.get("obs_coord", "root"),
             obs_vel=d.get("obs_vel", "full"),
             obs_phase=d.get("obs_phase", True),
@@ -164,6 +181,11 @@ class Config:
             residual_force_mode=d.get("residual_force_mode", "implicit"),
             residual_force_torque=bool(d.get("residual_force_torque", True)),
             residual_force_bodies_num=d.get("residual_force_bodies_num", 1),
+            residual_contact_only=d.get("residual_contact_only", False),
+            residual_contact_only_ground=d.get(
+                "residual_contact_only_ground", False),
+            residual_contact_projection=d.get(
+                "residual_contact_projection", False),
             rfc_decay=d.get("rfc_decay", False),
             meta_pd=d.get("meta_pd", False),
             meta_pd_joint=d.get("meta_pd_joint", False),
@@ -171,6 +193,9 @@ class Config:
             t_max=d.get("data_specs", {}).get("t_max", 300),
             has_shape=d.get("has_shape", False),
             has_shape_obs=d.get("has_shape_obs", True),
+            has_pca=d.get("has_pca", True),
+            has_weight=d.get("has_weight", False),
+            has_bone_length=d.get("has_bone_length", False),
             base_rot=tuple(d.get("data_specs", {}).get("base_rot", (0.7071, 0.7071, 0.0, 0.0))),
             reward_id=d.get("reward_id", "quat"),
             w_p=rw.get("w_p", 0.6), w_v=rw.get("w_v", 0.1),

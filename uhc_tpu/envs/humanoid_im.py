@@ -63,6 +63,10 @@ class EnvState:
 # Expert library access
 # ---------------------------------------------------------------------------
 
+# library keys indexed per sequence only (no time axis)
+PER_SEQ_KEYS = ("len", "height_lb", "head_height_lb", "beta", "gender",
+                "shape_obs", "weight")
+
 
 def expert_at(expert_lib: Dict[str, Any], seq_idx, t):
     """Gather expert features of sequence `seq_idx` at frame index
@@ -72,7 +76,7 @@ def expert_at(expert_lib: Dict[str, Any], seq_idx, t):
     per_frame = {
         k: v[seq_idx, ind]
         for k, v in expert_lib.items()
-        if k not in ("len", "height_lb", "head_height_lb", "beta", "gender")
+        if k not in PER_SEQ_KEYS
     }
     per_frame["len"] = length
     return per_frame
@@ -153,21 +157,29 @@ def do_simulation(topo: Topology, model: Model, cfg: EnvConfig, qpos, qvel,
             vf = jnp.concatenate([quat_rotate(hq, vf[:3]), vf[3:]])
             vf = jnp.clip(vf, -cfg.residual_force_lim, cfg.residual_force_lim)
             qfrc_applied = qfrc_applied.at[:6].set(vf)
-        elif cfg.residual_force:
+        vf_gate = None
+        if cfg.residual_force and cfg.residual_force_mode != "implicit":
             # rfc_explicit (humanoid_im.py:1080): per-body [cp, f, τ] in the
-            # body frame; force/torque scaled by residual_force_scale.
+            # body frame; force/torque scaled by residual_force_scale;
+            # optional hull projection of the contact point (:1107) and
+            # contact-only gating (:1089-1105).
             bvd = body_vf_dim(cfg)
             vf = action[ndof:ndof + vf_dim].reshape(topo.nbody, -1, bvd)
             vf = jnp.sum(vf, axis=1) if vf.shape[1] > 1 else vf[:, 0]
             scale = cfg.residual_force_scale * rfc_rate
             cp = vf[:, 0:3]
+            if cfg.residual_contact_projection:
+                cp = E.project_vf_cp(model, cp)
             f = vf[:, 3:6] * scale
             t = (vf[:, 6:9] * scale if cfg.residual_force_torque
                  else jnp.zeros_like(f))
             vf_body = jnp.concatenate([cp, f, t], axis=1)
+            if cfg.residual_contact_only:
+                vf_gate = ("ground" if cfg.residual_contact_only_ground
+                           else "height")
 
         qp, qv, tau = E.substep(topo, model, qp, qv, target_pos, kp, kd,
-                                qfrc_applied, vf_body)
+                                qfrc_applied, vf_body, vf_gate)
         return (qp, qv), None
 
     (qpos, qvel), _ = jax.lax.scan(sub, (qpos, qvel),
@@ -524,7 +536,19 @@ def get_obs(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
             expert_lib, shape_obs=None, tgt=None):
     """Observation dispatch (humanoid_im.py:269 get_obs). `tgt` overrides
     the expert frame (used by the kinematic env, whose "expert" is the FK
-    of its own integrated target pose, humanoid_kin_v1.py:144-151)."""
+    of its own integrated target pose, humanoid_kin_v1.py:144-151).
+
+    When the experiment is shape-conditioned (cfg.has_shape), the
+    per-sequence shape observation (get_expert_shape_and_gender,
+    humanoid_im.py:1390) is gathered from the library; a library built
+    without shapes is a hard error, not a silent feature drop."""
+    if cfg.has_shape and shape_obs is None:
+        if "shape_obs" not in expert_lib:
+            raise ValueError(
+                "cfg.has_shape=true but the expert library has no "
+                "'shape_obs' — build it with data.dataset."
+                "build_shaped_library, not build_expert_library")
+        shape_obs = expert_lib["shape_obs"][state.seq_idx]
     if cfg.obs_v == 0:
         return obs_v0(topo, model, cfg, state, expert_lib, shape_obs, tgt=tgt)
     if cfg.obs_v == 1:
@@ -532,10 +556,11 @@ def get_obs(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
     if cfg.obs_v == 2:
         return obs_v2(topo, model, cfg, state, expert_lib, shape_obs, tgt=tgt)
     if cfg.obs_v == 3:
-        # stacked future frames (humanoid_im.py:758): fut_frames × skip
+        # stacked future frames (humanoid_im.py:758-762 reads fut_frames and
+        # skip from cfg; defaults 10/10)
         return jnp.concatenate([
             obs_v2(topo, model, cfg, state, expert_lib, shape_obs, delta_t=i)
-            for i in range(0, 10 * 10, 10)])
+            for i in range(0, cfg.fut_frames * cfg.obs_skip, cfg.obs_skip)])
     if cfg.obs_v == 4:
         return obs_v4(topo, model, cfg, state, expert_lib, shape_obs, tgt=tgt)
     if cfg.obs_v == 5:
@@ -547,24 +572,51 @@ def get_obs(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
     raise NotImplementedError(f"obs_v={cfg.obs_v}")
 
 
-def obs_dim(topo: Topology, cfg: EnvConfig, shape_obs_dim: int = 0) -> int:
+def shape_obs_dim(topo: Topology, cfg: EnvConfig) -> int:
+    """Width of get_expert_shape_and_gender (humanoid_im.py:1390-1406):
+    beta(16) if has_pca + gender(1) + weight(1)? + bone_length(nb)?."""
+    return ((16 if cfg.has_pca else 0) + 1
+            + (1 if cfg.has_weight else 0)
+            + (topo.nbody if cfg.has_bone_length else 0))
+
+
+def get_obs_batched(topo: Topology, model: Model, cfg: EnvConfig,
+                    states: EnvState, expert_lib):
+    """vmap(get_obs) that accepts either a single shared model or a
+    per-sequence model library (shape-conditioned experiments)."""
+    from uhc_tpu.physics.model import (model_batch_axes, model_gather,
+                                       model_is_batched)
+
+    if model_is_batched(model):
+        m = model_gather(model, states.seq_idx)
+        maxes = model_batch_axes(m)
+    else:
+        m, maxes = model, None
+    return jax.vmap(lambda mm, s: get_obs(topo, mm, cfg, s, expert_lib),
+                    in_axes=(maxes, 0))(m, states)
+
+
+def obs_dim(topo: Topology, cfg: EnvConfig,
+            shape_obs_dim_: int | None = None) -> int:
     nb, nq, nv = topo.nbody, topo.nq, topo.nv
     vel = nv if cfg.obs_vel == "full" else 6
-    shape = shape_obs_dim if (cfg.has_shape and cfg.has_shape_obs) else 0
+    if shape_obs_dim_ is None:
+        shape_obs_dim_ = shape_obs_dim(topo, cfg) if cfg.has_shape else 0
+    shape = shape_obs_dim_ if (cfg.has_shape and cfg.has_shape_obs) else 0
     if cfg.obs_v == 0:
         return ((1 if cfg.obs_heading else 0) + (nq - 2) + vel
                 + topo.ndof + (1 if cfg.obs_phase else 0))
     if cfg.obs_v == 4:
         # global 4+5*3+6+3 (+shape; v4 checks has_shape only, :859) +
         # local (nb-1)*(3*3 + 3 + 3*2 + 4*2)
-        return 28 + (shape_obs_dim if cfg.has_shape else 0) + (nb - 1) * 26
+        return 28 + (shape_obs_dim_ if cfg.has_shape else 0) + (nb - 1) * 26
     if cfg.obs_v == 1:
         return 4 + 3 * (nq - 2) + vel + 1 + 2 + 3 * nb * 4 + 4 * nb * 2 + shape
     if cfg.obs_v == 2:
         return 4 + 3 * (nq - 2) + vel + 1 + 2 + 3 * nb * 2 + 4 * nb * 2 + shape
     if cfg.obs_v == 3:
-        return 10 * obs_dim(topo, dataclasses.replace(cfg, obs_v=2),
-                            shape_obs_dim)
+        return cfg.fut_frames * obs_dim(
+            topo, dataclasses.replace(cfg, obs_v=2), shape_obs_dim_)
     if cfg.obs_v == 5:
         return 3 * (nq - 2) + vel + 1 + 2 + 3 * nb * 2 + 4 * nb * 2 + shape
     if cfg.obs_v == 6:
@@ -665,25 +717,39 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
 
     def step(model: Model, states: EnvState, actions, expert_lib,
              jpos_diffw, body_diffw, rfc_rate=1.0, train: bool = True):
+        from uhc_tpu.physics.model import (model_batch_axes, model_gather,
+                                           model_is_batched)
+
+        # shape-conditioned training: `model` is a per-sequence library
+        # (leading (S,) on shape leaves) — gather each env's model by its
+        # current expert sequence (reference reset_robot rebuilds the robot
+        # per episode, humanoid_im.py:154-180; here it's a gather)
+        if model_is_batched(model):
+            m = model_gather(model, states.seq_idx)   # (B,) shape leaves
+            maxes = model_batch_axes(m)
+        else:
+            m, maxes = model, None
+
         prev_bquat = jax.vmap(get_body_quat)(states.qpos)
         tgt = jax.vmap(lambda s: expert_at(
             expert_lib, s.seq_idx, s.start_ind + s.cur_t + 1))(states)
         target_base = tgt["qpos"][:, 7:]
         if fast_sim is not None:
-            qpos, qvel = fast_sim(model, states.qpos, states.qvel, actions,
+            qpos, qvel = fast_sim(m, states.qpos, states.qvel, actions,
                                   target_base, rfc_rate)
         else:
             qpos, qvel = jax.vmap(
-                lambda qp, qv, a, tb: do_simulation(
-                    topo, model, cfg, qp, qv, a, tb, rfc_rate))(
-                states.qpos, states.qvel, actions, target_base)
+                lambda mm, qp, qv, a, tb: do_simulation(
+                    topo, mm, cfg, qp, qv, a, tb, rfc_rate),
+                in_axes=(maxes, 0, 0, 0, 0))(
+                m, states.qpos, states.qvel, actions, target_base)
         states = dataclasses.replace(
             states, qpos=qpos, qvel=qvel, prev_qpos=states.qpos,
             cur_t=states.cur_t + 1, prev_bquat=prev_bquat)
         return jax.vmap(
-            lambda s, a: env_post_step(topo, model, cfg, s, a, expert_lib,
-                                       jpos_diffw, body_diffw, train))(
-            states, actions)
+            lambda mm, s, a: env_post_step(topo, mm, cfg, s, a, expert_lib,
+                                           jpos_diffw, body_diffw, train),
+            in_axes=(maxes, 0, 0))(m, states, actions)
 
     return step
 

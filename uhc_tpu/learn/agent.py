@@ -47,7 +47,7 @@ class CopycatAgent:
                  num_envs: int = 1024, horizon: int = 48,
                  mesh: Optional[Mesh] = None, seed: Optional[int] = None,
                  model_xml: str = NEUTRAL_XML, max_seq_len: Optional[int] = None,
-                 results_dir: Optional[str] = None):
+                 results_dir: Optional[str] = None, smpl_data=None):
         self.cfg = cfg
         self.env_cfg = cfg.env
         self.num_envs = num_envs
@@ -60,8 +60,24 @@ class CopycatAgent:
         self.model = model_to_dtype(model, jnp.float32)
 
         seqs = load_motion_file(motion_file)
-        self.expert_lib, self.seq_keys = build_expert_library(
-            self.topo, self.model, seqs, max_len=max_seq_len)
+        if self.env_cfg.has_shape:
+            # shape-conditioned training: per-sequence robots + shape obs
+            # (reference reset_robot humanoid_im.py:154-180; shape obs :1390)
+            from uhc_tpu.data.dataset import build_shaped_library
+            if smpl_data is None:
+                from uhc_tpu.smpl.lbs import synthetic_smpl_data
+                smpl_data = synthetic_smpl_data()
+            elif isinstance(smpl_data, str):
+                from uhc_tpu.smpl.lbs import load_smpl_data
+                smpl_data = load_smpl_data(smpl_data)
+            self.expert_lib, self.seq_keys, model_lib = build_shaped_library(
+                self.topo, self.model, seqs, smpl_data, self.env_cfg,
+                max_len=max_seq_len)
+            self.sim_model = model_to_dtype(model_lib, jnp.float32)
+        else:
+            self.expert_lib, self.seq_keys = build_expert_library(
+                self.topo, self.model, seqs, max_len=max_seq_len)
+            self.sim_model = self.model
         nq, nv = self.topo.nq, self.topo.nv
         neutral_qpos, neutral_qvel = load_neutral()
         jpw, bdw = default_diff_weights()
@@ -84,15 +100,19 @@ class CopycatAgent:
 
         self.policy_opt = optax.adam(cfg.policy_lr)
         self.value_opt = optax.adam(cfg.value_lr)
+        # trainable exploration std (policy_gaussian.py:8 action_log_std is a
+        # policy parameter; same Adam lr as the rest of the policy)
+        self.log_std_opt = None if cfg.fix_std else optax.adam(cfg.policy_lr)
         self.ppo_state = PPOState(
             policy_params, value_params,
             self.policy_opt.init(policy_params),
-            self.value_opt.init(value_params))
+            self.value_opt.init(value_params),
+            None if cfg.fix_std else self.log_std_opt.init(self.log_std))
 
         self.rs = RN.init(self.obs_dim)
         self.rng = key
         self.env_states = init_env_states(
-            self.topo, self.env_cfg, self.model, self.expert_lib, self.aux,
+            self.topo, self.env_cfg, self.sim_model, self.expert_lib, self.aux,
             ke, num_envs)
 
         self.sampler = FailureFrequencySampler(
@@ -104,7 +124,7 @@ class CopycatAgent:
             self.policy_mean_fn, self.value_fn, self.policy_opt,
             self.value_opt, cfg.clip_epsilon, cfg.num_optim_epoch,
             min(cfg.mini_batch_size, num_envs * horizon),
-            fix_std=cfg.fix_std)
+            fix_std=cfg.fix_std, log_std_optimizer=self.log_std_opt)
         # env_states is NOT donated: env_reset aliases prev_qpos to qpos in
         # fresh states (same buffer), and donating an aliased pytree raises
         # "Attempt to donate the same buffer twice". The state arrays are
@@ -112,6 +132,9 @@ class CopycatAgent:
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1, 2))
         self.epoch = 0
+        # episode-end reward bonus, updated per epoch from the previous
+        # epoch's average custom reward (agent_copycat.py:333-334)
+        self.end_reward = 0.0
 
         if mesh is not None:
             self._shard_env_state()
@@ -124,11 +147,12 @@ class CopycatAgent:
 
     # -- one full PPO epoch on device ---------------------------------------
     def _train_step_impl(self, ppo_state, log_std, rs, env_states, rng,
-                         noise_rate, rfc_rate, seq_logits):
+                         noise_rate, rfc_rate, seq_logits, end_reward):
         rng, k_roll, k_ppo = jax.random.split(rng, 3)
         env_states, rs, traj, last_obs = self._rollout(
-            self.model, self.expert_lib, self.aux, ppo_state.policy_params,
-            log_std, rs, env_states, k_roll, noise_rate, rfc_rate, seq_logits)
+            self.sim_model, self.expert_lib, self.aux, ppo_state.policy_params,
+            log_std, rs, env_states, k_roll, noise_rate, rfc_rate, seq_logits,
+            end_reward)
 
         values = self.value_fn(ppo_state.value_params,
                                traj.states.reshape(-1, self.obs_dim))
@@ -150,6 +174,7 @@ class CopycatAgent:
         n_done = jnp.maximum(jnp.sum(done_f), 1.0)
         stats = {
             "reward_mean": jnp.mean(traj.rewards),
+            "c_reward_mean": jnp.mean(traj.c_rewards),
             "reward_terms": jnp.mean(traj.reward_terms, axis=(0, 1)),
             "episodes": jnp.sum(done_f),
             "avg_percent": jnp.sum(traj.percents * done_f) / n_done,
@@ -176,9 +201,13 @@ class CopycatAgent:
          stats, telemetry) = self._train_step(
             self.ppo_state, self.log_std, self.rs, self.env_states, self.rng,
             jnp.asarray(noise_rate, jnp.float32),
-            jnp.asarray(rfc_rate, jnp.float32), seq_logits)
+            jnp.asarray(rfc_rate, jnp.float32), seq_logits,
+            jnp.asarray(self.end_reward, jnp.float32))
 
         stats = jax.device_get(stats)
+        if self.cfg.end_reward:
+            self.end_reward = float(stats["c_reward_mean"]) * \
+                self.cfg.gamma / (1.0 - self.cfg.gamma)
         self.sampler.update_from_rollout(*jax.device_get(telemetry))
         stats["T_total"] = time.time() - t0
         stats["steps"] = self.num_envs * self.horizon
@@ -205,12 +234,14 @@ class CopycatAgent:
     def load_checkpoint(self, epoch: int):
         with open(self.checkpoint_path(epoch), "rb") as f:
             state = pickle.load(f)
+        self.log_std = jnp.asarray(state["log_std"])
         self.ppo_state = PPOState(
             jax.tree.map(jnp.asarray, state["policy_params"]),
             jax.tree.map(jnp.asarray, state["value_params"]),
             self.policy_opt.init(state["policy_params"]),
-            self.value_opt.init(state["value_params"]))
-        self.log_std = jnp.asarray(state["log_std"])
+            self.value_opt.init(state["value_params"]),
+            None if self.log_std_opt is None
+            else self.log_std_opt.init(self.log_std))
         rs = state["running_stats"]
         self.rs = RN.RunningStats(jnp.asarray(rs["n"]), jnp.asarray(rs["mean"]),
                                   jnp.asarray(rs["m2"]))

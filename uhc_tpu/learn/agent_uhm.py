@@ -153,7 +153,10 @@ class UHMAgent:
         """scan(vmap(kin_env_step)) for `horizon` steps from fresh resets.
         Returns per-step (obs, h, action, reward, mask, done) stacks."""
         B = self.num_envs
-        keys = jax.random.split(rng, B)
+        # independent streams for initial resets vs per-step randomness
+        # (split sets of the same key share prefixes)
+        r_init, r_steps = jax.random.split(rng)
+        keys = jax.random.split(r_init, B)
         states = jax.vmap(
             lambda k, s: K.kin_env_reset(self.topo, self.model,
                                          self.kin_env_cfg, k, s,
@@ -167,9 +170,9 @@ class UHMAgent:
             mean, h_new = jax.vmap(
                 lambda o, hh: KN.kin_net_action(params, self.specs, o, hh))(
                 obs, h)
-            k1, _ = jax.random.split(key)
+            k_act, k_reset = jax.random.split(key)
             action = mean + jnp.exp(log_std) * jax.random.normal(
-                k1, mean.shape, mean.dtype)
+                k_act, mean.shape, mean.dtype)
             states2, obs2, reward, terms, done = jax.vmap(
                 lambda s, a: K.kin_env_step(
                     self.topo, self.model, self.kin_env_cfg, self.env_cfg,
@@ -184,7 +187,7 @@ class UHMAgent:
                 lambda k, s: K.kin_env_reset(self.topo, self.model,
                                              self.kin_env_cfg, k, s,
                                              self.context_lib))(
-                jax.random.split(key, B), seq_idx)
+                jax.random.split(k_reset, B), seq_idx)
             states_r = jax.vmap(reset_one)(done, states2, fresh)
             obs_r = jax.vmap(lambda s: K.get_ar_obs_v1(
                 self.topo, self.model, self.env_cfg, s,
@@ -194,7 +197,7 @@ class UHMAgent:
                    "done": done, "percent": states2.percent}
             return (states_r, obs_r, h_r), out
 
-        step_keys = jax.random.split(rng, self.horizon)
+        step_keys = jax.random.split(r_steps, self.horizon)
         (_, _, _), traj = jax.lax.scan(step_fn, (states, obs0, h0), step_keys)
         return traj
 
@@ -316,7 +319,7 @@ class UHMAgent:
         t0 = time.time()
         stats: Dict[str, Any] = {}
         if self.policy_specs.get("rl_update", False):
-            self.rng, k1, k2 = jax.random.split(self.rng, 3)
+            self.rng, k1, k2, k3 = jax.random.split(self.rng, 4)
             seq_idx = jax.random.randint(k1, (self.num_envs,), 0,
                                          len(self.seq_keys))
             traj = self._rollout(self.params, self.params["log_std"], k2,
@@ -324,7 +327,7 @@ class UHMAgent:
             (self.params, self.opt_state, self.value_params,
              self.value_opt_state, rl_stats) = self._rl_update(
                 self.params, self.opt_state, self.value_params,
-                self.value_opt_state, traj, k2)
+                self.value_opt_state, traj, k3)
             stats.update(jax.device_get(rl_stats))
         if self.policy_specs.get("full_update", True):
             stats["supervised_loss"] = self.full_update()

@@ -224,10 +224,16 @@ def gaussian_sample(key, mean, log_std):
     return mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape, mean.dtype)
 
 
-def gaussian_kl(log_std):
-    """KL of the (detached) dist against itself — matches DiagGaussian.kl()
-    being 0 at evaluation point; kept for API parity."""
-    return jnp.zeros(())
+def gaussian_kl(mean0, log_std0, mean1, log_std1):
+    """KL(N(mean0,std0) || N(mean1,std1)) summed over action dims
+    (khrylib/rl/core/distributions.py DiagGaussian.kl; the reference
+    evaluates it between the detached snapshot and the live dist — here the
+    caller passes both explicitly, e.g. stop_gradient'ed old params)."""
+    var0 = jnp.exp(2.0 * log_std0)
+    var1 = jnp.exp(2.0 * log_std1)
+    kl = (log_std1 - log_std0
+          + (var0 + (mean0 - mean1) ** 2) / (2.0 * var1) - 0.5)
+    return jnp.sum(kl, axis=-1)
 
 
 # -- Discrete policy (khrylib/rl/core/policy_disc.py:6 twin) -------------------

@@ -28,15 +28,22 @@ class PPOState(NamedTuple):
     value_params: any
     policy_opt: any
     value_opt: any
+    # optimizer state for the trainable log_std (fix_std=False); None when
+    # the std is fixed/scheduled
+    log_std_opt: any = None
 
 
 def make_ppo_update(policy_mean_fn: Callable, value_fn: Callable,
                     policy_optimizer, value_optimizer,
                     clip_epsilon: float, num_epochs: int,
                     minibatch_size: int, fix_std: bool = True,
-                    policy_grad_clip: float | None = 40.0):
+                    policy_grad_clip: float | None = 40.0,
+                    log_std_optimizer=None):
     """Returns update(ppo_state, log_std, batch_dict, rng) ->
     (ppo_state', log_std', stats)."""
+    if not fix_std and log_std_optimizer is None:
+        raise ValueError("fix_std=False requires a log_std_optimizer "
+                         "(the exploration std is a trainable parameter)")
 
     def policy_loss(policy_params, log_std, s, a, adv, flp, exps):
         mean = policy_mean_fn(policy_params, s)
@@ -77,18 +84,31 @@ def make_ppo_update(policy_mean_fn: Callable, value_fn: Callable,
                 if fix_std:
                     pg = jax.grad(policy_loss)(ppo.policy_params, log_std,
                                                sb, ab, advb, flpb, expb)
-                    new_log_std = log_std
+                    new_log_std, lsopt = log_std, ppo.log_std_opt
                 else:
+                    # action_log_std is a trainable policy parameter in the
+                    # reference (khrylib/rl/core/policy_gaussian.py:8); the
+                    # grad-norm clip covers policy params AND log_std jointly
+                    # (torch clip_grad_norm_ over policy_net.parameters()).
                     pg, lg = jax.grad(policy_loss, argnums=(0, 1))(
                         ppo.policy_params, log_std, sb, ab, advb, flpb, expb)
-                    new_log_std = log_std  # folded into params below
-                if policy_grad_clip is not None:
+                    if policy_grad_clip is not None:
+                        gnorm = optax.global_norm((pg, lg))
+                        scale = jnp.minimum(
+                            1.0, policy_grad_clip / (gnorm + 1e-8))
+                        pg = jax.tree.map(lambda g: g * scale, pg)
+                        lg = lg * scale
+                    lup, lsopt = log_std_optimizer.update(
+                        lg, ppo.log_std_opt, log_std)
+                    new_log_std = optax.apply_updates(log_std, lup)
+                if fix_std and policy_grad_clip is not None:
                     gnorm = optax.global_norm(pg)
                     scale = jnp.minimum(1.0, policy_grad_clip / (gnorm + 1e-8))
                     pg = jax.tree.map(lambda g: g * scale, pg)
                 pup, popt = policy_optimizer.update(pg, ppo.policy_opt, ppo.policy_params)
                 pparams = optax.apply_updates(ppo.policy_params, pup)
-                return (PPOState(pparams, vparams, popt, vopt), new_log_std), None
+                return (PPOState(pparams, vparams, popt, vopt, lsopt),
+                        new_log_std), None
 
             (ppo, log_std), _ = jax.lax.scan(
                 mb_body, (ppo, log_std), jnp.arange(n_mb))

@@ -31,7 +31,8 @@ class TrajBatch(NamedTuple):
     (khrylib/rl/core/trajbatch.py:4)."""
     states: Any      # normalized observations fed to the policy
     actions: Any
-    rewards: Any
+    rewards: Any     # reward stored for GAE (includes the end_reward bonus)
+    c_rewards: Any   # raw custom reward (LoggerRL avg_c_reward semantics)
     masks: Any       # 1 - done
     exps: Any        # 1 if stochastic action (policy-gradient rows)
     reward_terms: Any
@@ -62,7 +63,7 @@ def make_rollout_fn(
                            train=True)
 
     def rollout(model, expert_lib, aux, params, log_std, rs, env_state, rng,
-                noise_rate, rfc_rate, seq_logits):
+                noise_rate, rfc_rate, seq_logits, end_reward=0.0):
         jpos_diffw = aux["jpos_diffw"]
         body_diffw = aux["body_diffw"]
 
@@ -80,7 +81,7 @@ def make_rollout_fn(
                     jnp.reshape(state.done, (B,) + (1,) * (o.ndim - 1)), n, o),
                 new_states, state)
 
-            obs = jax.vmap(lambda s: H.get_obs(topo, model, cfg, s, expert_lib))(state)
+            obs = H.get_obs_batched(topo, model, cfg, state, expert_lib)
             rs = RN.update_batch(rs, obs)
             nobs = RN.normalize(rs, obs, clip_obs)
 
@@ -93,8 +94,13 @@ def make_rollout_fn(
             state2, _, reward, terms, done = env_step_batched(
                 model, state, action, expert_lib, jpos_diffw, body_diffw,
                 rfc_rate, train=True)
+            # end_reward bonus at episode ends (agent.py:75-76: reward +=
+            # env.end_reward when info end; env.end_reward =
+            # avg_c_reward·γ/(1-γ), agent_copycat.py:334)
+            aug_reward = reward + end_reward * state2.end.astype(reward.dtype)
             out = TrajBatch(
-                states=nobs, actions=action, rewards=reward,
+                states=nobs, actions=action, rewards=aug_reward,
+                c_rewards=reward,
                 masks=1.0 - done.astype(mean.dtype), exps=exps,
                 reward_terms=terms, dones=done, percents=state2.percent,
                 seq_idx=state2.seq_idx, fails=state2.fail)
@@ -103,7 +109,7 @@ def make_rollout_fn(
         (env_state, rs, rng), traj = jax.lax.scan(
             step, (env_state, rs, rng), None, length=horizon)
         # bootstrap observation for truncated episodes
-        last_obs = jax.vmap(lambda s: H.get_obs(topo, model, cfg, s, expert_lib))(env_state)
+        last_obs = H.get_obs_batched(topo, model, cfg, env_state, expert_lib)
         last_obs = RN.normalize(rs, last_obs, clip_obs)
         return env_state, rs, traj, last_obs
 

@@ -361,8 +361,35 @@ def integrate(model: Model, qpos, qvel, qacc):
     return jnp.concatenate([root_pos, root_quat, joints]), qvel_new
 
 
+def project_vf_cp(model: Model, cp):
+    """Clamp explicit-RFC contact points (nb,3 body frame) into each body's
+    hull AABB — the TPU-native stand-in for the reference's hull projection
+    (smpl_robot.py:1262 project_to_body: inside-hull points pass through;
+    outside points snap to the hull). The AABB contains the hull, so interior
+    points are untouched and the residual-force lever arm stays bounded by
+    the body extent."""
+    pts, m = model.contact_point, model.contact_mask[..., None]
+    big = jnp.asarray(1e9, pts.dtype)
+    lo = jnp.min(jnp.where(m > 0, pts, big), axis=-2)
+    hi = jnp.max(jnp.where(m > 0, pts, -big), axis=-2)
+    return jnp.clip(cp, lo, hi)
+
+
+def vf_contact_gate(model: Model, kin, mode: str):
+    """Per-body 0/1 gate for explicit RFC (humanoid_im.py:1089-1105
+    rfc_explicit): 'height' = body origin z <= 0.12 (the reference default
+    when residual_contact_only_ground is false), 'ground' = the body has an
+    actual active ground contact."""
+    if mode == "height":
+        return (kin["xpos"][:, 2] <= 0.12).astype(kin["xpos"].dtype)
+    wp = kin["xpos"][:, None] + quat_rotate(kin["xquat"][:, None],
+                                            model.contact_point)
+    touch = (wp[..., 2] < 0.0).astype(wp.dtype) * model.contact_mask
+    return jnp.max(touch, axis=-1)
+
+
 def assemble(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
-             qfrc_applied, vf_body=None):
+             qfrc_applied, vf_body=None, vf_gate=None):
     """Phase 1 of a substep: everything except the linear solves.
 
     Returns a dict with the two SPD system matrices (A_pd for stable-PD,
@@ -400,6 +427,10 @@ def assemble(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
         cp_w = quat_rotate(kin["xquat"], vf_body[:, 0:3])
         f_w = quat_rotate(kin["xquat"], vf_body[:, 3:6])
         t_w = quat_rotate(kin["xquat"], vf_body[:, 6:9])
+        if vf_gate is not None:
+            gate = vf_contact_gate(model, kin, vf_gate)[:, None]
+            f_w = f_w * gate
+            t_w = t_w * gate
         p_w = kin["xpos"] + cp_w
         T = jnp.cross(p_w - kin["xipos"], f_w) + t_w
         rhs_base = rhs_base + (jnp.einsum("naj,na->j", Jlin, f_w, precision=HI)
@@ -415,7 +446,7 @@ def pd_torque_from_accel(model: Model, qvel, qpos_err, kp, kd, qacc_des):
 
 
 def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
-            qfrc_applied, vf_body=None):
+            qfrc_applied, vf_body=None, vf_gate=None):
     """One 450 Hz physics substep with stable-PD actuation.
 
     `qfrc_applied` is the residual-force wrench already mapped to generalized
@@ -432,7 +463,7 @@ def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
     from uhc_tpu.physics import linalg as LA
 
     out = assemble(topo, model, qpos, qvel, target_pos, kp, kd,
-                   qfrc_applied, vf_body)
+                   qfrc_applied, vf_body, vf_gate)
     LL = LA.blocked_cholesky(jnp.stack([out["A_pd"], out["A_fd"]]))
     qacc_des = LA.blocked_cho_solve(
         jax.tree.map(lambda x: x[0], LL), out["pd_rhs"])

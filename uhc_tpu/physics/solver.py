@@ -110,6 +110,10 @@ def make_do_simulation(topo: Topology, cfg, pcg_iters: int = 5):
     ndof, vf_dim, meta_dim = H.action_dims(topo, cfg)
 
     def do_simulation(model, qpos, qvel, actions, target_base, rfc_rate):
+        from uhc_tpu.physics.model import model_batch_axes, model_is_batched
+
+        # shape-conditioned path: model leaves may carry a leading (B,) dim
+        maxes = model_batch_axes(model) if model_is_batched(model) else None
         B = qpos.shape[0]
         dtype = qpos.dtype
 
@@ -129,7 +133,7 @@ def make_do_simulation(topo: Topology, cfg, pcg_iters: int = 5):
 
         base_rot = jnp.asarray(cfg.base_rot, dtype)
 
-        def assemble_env(qp, qv, action, tb, kp, kd):
+        def assemble_env(model, qp, qv, action, tb, kp, kd):
             from uhc_tpu.maths import (heading_quat, quat_inv, quat_mul,
                                        quat_rotate, wrap_to_pi)
 
@@ -154,20 +158,31 @@ def make_do_simulation(topo: Topology, cfg, pcg_iters: int = 5):
                 v = action[ndof:ndof + vf_dim].reshape(topo.nbody, -1, bvd)
                 v = jnp.sum(v, axis=1) if v.shape[1] > 1 else v[:, 0]
                 s = cfg.residual_force_scale * rfc_rate
+                cp = v[:, 0:3]
+                if cfg.residual_contact_projection:
+                    cp = E.project_vf_cp(model, cp)
                 t = (v[:, 6:9] * s if cfg.residual_force_torque
                      else jnp.zeros_like(v[:, 3:6]))
-                vf_body = jnp.concatenate([v[:, 0:3], v[:, 3:6] * s, t], 1)
+                vf_body = jnp.concatenate([cp, v[:, 3:6] * s, t], 1)
+            vf_gate = None
+            if (cfg.residual_force and cfg.residual_force_mode != "implicit"
+                    and cfg.residual_contact_only):
+                vf_gate = ("ground" if cfg.residual_contact_only_ground
+                           else "height")
             out = E.assemble(topo, model, qp, qv, target_pos, kp, kd,
-                             qfrc_applied, vf_body)
+                             qfrc_applied, vf_body, vf_gate)
             out["kp"], out["kd"] = kp, kd
             return out
 
         def substep_batch(carry, i):
             qp, qv, Xpd, Xfd = carry
             ks, ds = kp_scale[:, i], kd_scale[:, i]
-            kp = model.jkp[None] * (ks[:, None] if ks.ndim == 1 else ks)
-            kd = model.jkd[None] * (ds[:, None] if ds.ndim == 1 else ds)
-            out = jax.vmap(assemble_env)(qp, qv, actions, target_base, kp, kd)
+            jkp = model.jkp if model.jkp.ndim > 1 else model.jkp[None]
+            jkd = model.jkd if model.jkd.ndim > 1 else model.jkd[None]
+            kp = jkp * (ks[:, None] if ks.ndim == 1 else ks)
+            kd = jkd * (ds[:, None] if ds.ndim == 1 else ds)
+            out = jax.vmap(assemble_env, in_axes=(maxes, 0, 0, 0, 0, 0, 0))(
+                model, qp, qv, actions, target_base, kp, kd)
             A_pd, A_fd = out["A_pd"], out["A_fd"]
 
             Xpd, Xfd = jax.lax.cond(

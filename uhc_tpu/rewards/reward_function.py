@@ -95,8 +95,50 @@ def world_rfc_implicit_v1_mul(topo, model, cfg, state, action, expert_lib, aux):
     return reward, terms
 
 
+def _explicit_terms(topo, model, cfg, state, action, expert_lib, aux):
+    """world_rfc_explicit terms (reward_function.py:253-345). Differs from
+    the implicit `_terms`: the velocity distance is NOT jpos_diffw-weighted
+    (:311), the expert bangvel is zeroed past the sequence end (:303-304),
+    and the norm order v_ord is honored (:310-311).
+
+    The cyclic-expert re-anchoring branch (:291-301) is structurally dead in
+    the reference's own env path — uhc/envs/humanoid_im.py:183 hardcodes
+    `expert_meta = {"cyclic": False, ...}` — so it is deliberately not
+    carried over."""
+    exp = H.expert_at(expert_lib, state.seq_idx, state.start_ind + state.cur_t)
+    kin = E.fk(topo, model, state.qpos)
+    dt = cfg.ctrl_dt
+    body_diffw = aux["body_diffw"]
+
+    cur_ee = kin["xpos"][SMPL_EE_INDICES].reshape(-1)
+    cur_bquat = H.get_body_quat(state.qpos)
+    cur_bangvel = angvel_fd(state.prev_bquat, cur_bquat, dt)
+    cur_com = kin["xipos"][0]
+
+    pose_diff = multi_quat_norm(multi_quat_diff(cur_bquat, exp["bquat"]))
+    pose_diff = pose_diff * jnp.concatenate(
+        [jnp.ones(1, pose_diff.dtype), body_diffw])
+    pose_reward = jnp.exp(-cfg.k_p * jnp.sum(pose_diff**2))
+
+    # zero the expert bangvel past the end of a (non-cyclic) sequence
+    past_end = (state.start_ind + state.cur_t) >= exp["len"]
+    e_bangvel = jnp.where(past_end, 0.0, exp["bangvel"])
+    v_ord = cfg.rw("v_ord", 2)
+    d = cur_bangvel - e_bangvel
+    if v_ord == 2:
+        vel_dist = jnp.linalg.norm(d)
+    else:
+        vel_dist = jnp.sum(jnp.abs(d) ** v_ord) ** (1.0 / v_ord)
+    vel_reward = jnp.exp(-cfg.k_v * vel_dist**2)
+
+    ee_reward = jnp.exp(-cfg.k_e * jnp.sum((cur_ee - exp["ee_wpos"])**2))
+    com_reward = jnp.exp(-cfg.k_c * jnp.sum((cur_com - exp["com"])**2))
+    return pose_reward, vel_reward, ee_reward, com_reward
+
+
 def world_rfc_explicit(topo, model, cfg, state, action, expert_lib, aux):
-    p, v, e, c = _terms(topo, model, cfg, state, action, expert_lib, aux)
+    p, v, e, c = _explicit_terms(topo, model, cfg, state, action, expert_lib,
+                                 aux)
     vf = _vf_explicit(topo, cfg, action)
     ws = jnp.asarray([cfg.w_p, cfg.w_v, cfg.w_e, cfg.w_c, cfg.w_vf])
     terms = jnp.stack([p, v, e, c, vf])
@@ -104,7 +146,8 @@ def world_rfc_explicit(topo, model, cfg, state, action, expert_lib, aux):
 
 
 def world_rfc_explicit_mul(topo, model, cfg, state, action, expert_lib, aux):
-    p, v, e, c = _terms(topo, model, cfg, state, action, expert_lib, aux)
+    p, v, e, c = _explicit_terms(topo, model, cfg, state, action, expert_lib,
+                                 aux)
     vf = _vf_explicit(topo, cfg, action)
     terms = jnp.stack([p, v, e, c, vf])
     return p * v * e * c * vf, terms

@@ -1,0 +1,138 @@
+"""Shape-conditioned training wiring (VERDICT.md round-1 item 2):
+per-sequence models from betas, shape observations, and the batched env
+step over a model library. Reference: uhc/envs/humanoid_im.py:154-180
+reset_robot (per-beta robot rebuild), :1390 get_expert_shape_and_gender,
+config/release/uhc_implicit_shape.yml.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uhc_tpu.config.config import Config, EnvConfig
+from uhc_tpu.data.dataset import build_shaped_library, seq_beta_gender
+from uhc_tpu.envs import humanoid_im as H
+from uhc_tpu.physics.model import (model_batch_axes, model_gather,
+                                   model_is_batched, model_to_dtype)
+from uhc_tpu.smpl.constants import default_diff_weights
+from uhc_tpu.smpl.lbs import synthetic_smpl_data
+from uhc_tpu.smpl.mjcf import load_mjcf_humanoid
+
+XML = "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+
+
+def _synthetic_seqs(T=25):
+    rng = np.random.RandomState(0)
+    base = {"pose_aa": np.zeros((T, 72), np.float32),
+            "trans": np.cumsum(rng.randn(T, 3).astype(np.float32) * 0.001, 0)}
+    b1 = np.zeros(16, np.float32); b1[0] = 2.0
+    b2 = np.zeros(16, np.float32); b2[0] = -2.0; b2[1] = 1.0
+    return {
+        "big": dict(base, beta=np.tile(b1, (T, 1)), gender="male"),
+        "small": dict(base, beta=b2, gender=np.asarray(b"female")),
+    }
+
+
+@pytest.fixture(scope="module")
+def shaped():
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    smpl = synthetic_smpl_data()
+    cfg = EnvConfig(has_shape=True, meta_pd=True, residual_force=True)
+    lib, keys, model_lib = build_shaped_library(
+        topo, model, _synthetic_seqs(), smpl, cfg)
+    return topo, model, cfg, lib, keys, model_lib
+
+
+def test_seq_beta_gender():
+    b, g = seq_beta_gender({"beta": np.ones((5, 10)), "gender": "female"})
+    assert b.shape == (16,) and b[9] == 1.0 and b[10] == 0.0 and g == 2.0
+    b, g = seq_beta_gender({})
+    assert (b == 0).all() and g == 0.0
+
+
+def test_per_seq_models_differ(shaped):
+    topo, model, cfg, lib, keys, model_lib = shaped
+    assert model_is_batched(model_lib)
+    bp = np.asarray(model_lib.body_pos)
+    assert bp.shape == (2, topo.nbody, 3)
+    assert not np.allclose(bp[0], bp[1]), "different betas -> different models"
+    assert not np.allclose(np.asarray(model_lib.body_mass)[0],
+                           np.asarray(model_lib.body_mass)[1])
+    # gain tables are shared (reference SMPLConverter tables are per
+    # topology, not per shape)
+    assert np.asarray(model_lib.jkp).ndim == 1
+    # gather returns the right per-seq model
+    m1 = model_gather(model_lib, jnp.asarray(1))
+    np.testing.assert_array_equal(np.asarray(m1.body_pos), bp[1])
+    np.testing.assert_array_equal(np.asarray(m1.jkp),
+                                  np.asarray(model_lib.jkp))
+
+
+def test_shape_obs_in_library(shaped):
+    topo, model, cfg, lib, keys, model_lib = shaped
+    assert lib["shape_obs"].shape == (2, 17)   # beta16 + gender
+    assert float(lib["shape_obs"][0, 16]) == 1.0   # male
+    assert float(lib["shape_obs"][1, 16]) == 2.0   # female
+    np.testing.assert_allclose(np.asarray(lib["shape_obs"][0, :16]),
+                               np.asarray(lib["beta"][0]))
+    assert H.shape_obs_dim(topo, cfg) == 17
+    assert H.obs_dim(topo, cfg) == H.obs_dim(
+        topo, dataclasses.replace(cfg, has_shape=False)) + 17
+
+
+def test_obs_includes_shape_block(shaped):
+    topo, model, cfg, lib, keys, model_lib = shaped
+    m1 = model_gather(model_lib, jnp.asarray(1))
+    state = H.env_reset(topo, m1, cfg, jax.random.PRNGKey(0),
+                        jnp.asarray(1, jnp.int32), lib,
+                        lib["qpos"][1, 0], lib["qvel"][1, 0], train=False)
+    obs = H.get_obs(topo, m1, cfg, state, lib)
+    assert obs.shape == (H.obs_dim(topo, cfg),)
+    np.testing.assert_allclose(np.asarray(obs[-17:]),
+                               np.asarray(lib["shape_obs"][1]), atol=1e-6)
+
+
+def test_shape_guard_raises(shaped):
+    topo, model, cfg, lib, keys, model_lib = shaped
+    m1 = model_gather(model_lib, jnp.asarray(0))
+    state = H.env_reset(topo, m1, cfg, jax.random.PRNGKey(0),
+                        jnp.asarray(0, jnp.int32), lib,
+                        lib["qpos"][0, 0], lib["qvel"][0, 0], train=False)
+    bare = {k: v for k, v in lib.items() if k != "shape_obs"}
+    with pytest.raises(ValueError, match="shape_obs"):
+        H.get_obs(topo, m1, cfg, state, bare)
+
+
+def test_batched_step_with_model_lib(shaped):
+    topo, model, cfg, lib, keys, model_lib = shaped
+    jpw, bdw = default_diff_weights()
+    jpw, bdw = jnp.asarray(jpw), jnp.asarray(bdw)
+    seq_idx = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    keys_ = jax.random.split(jax.random.PRNGKey(0), 4)
+    states = jax.vmap(
+        lambda k, s: H.env_reset(topo, model, cfg, k, s, lib,
+                                 lib["qpos"][0, 0], lib["qvel"][0, 0],
+                                 train=False))(keys_, seq_idx)
+    ndof, vf, meta = H.action_dims(topo, cfg)
+    actions = jnp.zeros((4, ndof + vf + meta))
+    step = H.make_env_step_batched(topo, cfg)
+    states2, obs, reward, terms, done = jax.jit(
+        lambda s, a: step(model_lib, s, a, lib, jpw, bdw))(states, actions)
+    assert obs.shape == (4, H.obs_dim(topo, cfg))
+    assert bool(jnp.all(jnp.isfinite(obs)))
+    assert bool(jnp.all(jnp.isfinite(states2.qpos)))
+    # env 0 (seq "big") and env 1 (seq "small") see different shape obs
+    assert not np.allclose(np.asarray(obs[0, -17:]), np.asarray(obs[1, -17:]))
+
+
+def test_uhc_implicit_shape_config_loads():
+    cfg = Config.from_yaml("uhc_implicit_shape")
+    assert cfg.env.has_shape and cfg.env.obs_v == 2
+    assert cfg.env.fut_frames == 3 and cfg.env.obs_skip == 10
+    topo, _ = load_mjcf_humanoid(XML)
+    # obs_v2 + full qvel + shape(17)
+    assert H.obs_dim(topo, cfg.env) == 640 + 17

@@ -32,7 +32,8 @@ EXPERT_KEYS = ["qpos", "qvel", "wbpos", "wbquat", "bquat", "body_com",
 
 
 def load_motion_file(path: str) -> Dict[str, dict]:
-    """Load a reference-format motion pkl -> {key: {pose_aa, trans, ...}}."""
+    """Load a reference-format motion pkl -> {key: {pose_aa, trans, beta,
+    gender, ...}} (beta/gender preserved for the shape-conditioned path)."""
     raw = joblib.load(path)
     if "pose_aa" in raw and not isinstance(raw["pose_aa"], dict):
         # single-clip file (standing_neutral.pkl layout)
@@ -46,6 +47,32 @@ def load_motion_file(path: str) -> Dict[str, dict]:
                 for k in keys}
     # row layout: {key: {fields}}
     return raw
+
+
+GENDER_NUM = {"neutral": 0.0, "male": 1.0, "female": 2.0}
+
+
+def seq_beta_gender(d: dict, n_betas: int = 16):
+    """First-frame beta padded/truncated to n_betas + numeric gender
+    (dataset_amass_single.py:109-128 semantics: neutral 0 / male 1 /
+    female 2)."""
+    beta = d.get("beta")
+    if beta is None:
+        beta16 = np.zeros(n_betas, np.float32)
+    else:
+        beta = np.asarray(beta, np.float32)
+        if beta.ndim > 1:
+            beta = beta[0]
+        beta16 = np.zeros(n_betas, np.float32)
+        beta16[:min(len(beta), n_betas)] = beta[:n_betas]
+    g = d.get("gender", "neutral")
+    if isinstance(g, np.ndarray):
+        g = g.item()
+    if isinstance(g, bytes):
+        g = g.decode("utf-8")
+    if isinstance(g, str):
+        g = GENDER_NUM.get(g, 0.0)
+    return beta16, float(g)
 
 
 def build_expert_library(topo: Topology, model: Model,
@@ -71,6 +98,11 @@ def build_expert_library(topo: Topology, model: Model,
         qpos = smpl_to_qpose(pose_aa, model.body_pos[0], trans)
         feats.append(jax.device_get(qpos_fk(topo, model, qpos, fps)))
 
+    return _stack_library(feats), keys
+
+
+def _stack_library(feats):
+    """Pad (repeat last frame) + stack per-sequence feature dicts."""
     Tmax = max(f["len"] for f in feats)
     lib = {}
     for key in EXPERT_KEYS + ["head_pos"]:
@@ -84,7 +116,106 @@ def build_expert_library(topo: Topology, model: Model,
     lib["height_lb"] = jnp.asarray([float(f["height_lb"]) for f in feats])
     lib["head_height_lb"] = jnp.asarray(
         [float(f["head_height_lb"]) for f in feats])
-    return lib, keys
+    return lib
+
+
+def build_shaped_library(topo: Topology, base_model: Model, seqs,
+                         smpl_data, cfg, fps: float = 30.0,
+                         max_len: Optional[int] = None):
+    """Shape-conditioned expert library (reference humanoid_im.py:154-180
+    reset_robot: per-beta robot rebuild + per-beta expert featurization;
+    smpl_robot.py:1018 load_from_skeleton).
+
+    Every sequence gets its own `Model` from its SMPL betas
+    (smpl.robot.model_from_betas); experts are featurized through that
+    model's FK, and the per-sequence shape observation
+    (humanoid_im.py:1390-1406 get_expert_shape_and_gender: [beta(16) if
+    has_pca] + [gender] + [weight if has_weight] + [bone_length if
+    has_bone_length]) is precomputed into lib["shape_obs"].
+
+    `smpl_data` is a single SMPLData used for all genders, or a dict
+    {"neutral"/"male"/"female": SMPLData} (the reference loads gendered SMPL
+    pkls; with only a neutral model every gender maps to it).
+
+    Returns (lib, keys, model_lib) — model_lib is a Model whose
+    shape-dependent leaves carry a leading (S,) library dim; gather per
+    sequence with physics.model.model_gather.
+    """
+    import dataclasses as _dc
+
+    from uhc_tpu.smpl.lbs import SMPLData, vertex_body_assignment
+    from uhc_tpu.smpl.robot import model_from_betas
+
+    if isinstance(smpl_data, SMPLData):
+        smpl_by_gender = {0.0: smpl_data, 1.0: smpl_data, 2.0: smpl_data}
+    else:
+        g2n = {0.0: "neutral", 1.0: "male", 2.0: "female"}
+        smpl_by_gender = {
+            g: smpl_data.get(n, smpl_data.get("neutral",
+                                              next(iter(smpl_data.values()))))
+            for g, n in g2n.items()}
+
+    assign = {}
+    for sd in smpl_by_gender.values():
+        if id(sd) not in assign:
+            assign[id(sd)] = vertex_body_assignment(sd)
+
+    keys = list(seqs.keys())
+    feats, models, betas, genders = [], [], [], []
+    for k in keys:
+        d = seqs[k]
+        sd0 = smpl_by_gender[0.0]
+        n_b = int(np.asarray(sd0.shapedirs).shape[-1])
+        beta16, gender = seq_beta_gender(d, 16)
+        sd = smpl_by_gender.get(gender, sd0)
+        model_s = model_from_betas(topo, base_model, sd,
+                                   jnp.asarray(beta16[:n_b]), assign[id(sd)])
+        pose_aa = np.asarray(d["pose_aa"])
+        if pose_aa.shape[-1] > 72:
+            pose_aa = np.concatenate(
+                [pose_aa[:, :66],
+                 np.zeros((len(pose_aa), 6), pose_aa.dtype)], -1)
+        trans = d.get("trans")
+        if max_len is not None:
+            pose_aa = pose_aa[:max_len]
+            trans = None if trans is None else trans[:max_len]
+        qpos = smpl_to_qpose(pose_aa, model_s.body_pos[0], trans)
+        feats.append(jax.device_get(qpos_fk(topo, model_s, qpos, fps)))
+        models.append(jax.device_get(model_s))
+        betas.append(beta16)
+        genders.append(gender)
+
+    lib = _stack_library(feats)
+    lib["beta"] = jnp.asarray(np.stack(betas))
+    lib["gender"] = jnp.asarray(np.asarray(genders, np.float32))
+
+    # stack per-seq models into a library (leading (S,) on per-shape leaves)
+    from uhc_tpu.physics.model import MODEL_BASE_NDIM
+    stacked = {}
+    for f in _dc.fields(Model):
+        vals = [np.asarray(getattr(m, f.name)) for m in models]
+        if all(np.array_equal(vals[0], v) for v in vals[1:]):
+            stacked[f.name] = jnp.asarray(vals[0])
+        else:
+            stacked[f.name] = jnp.asarray(np.stack(vals))
+    model_lib = Model(**stacked)
+
+    # shape observation (humanoid_im.py:1390 get_expert_shape_and_gender)
+    weight = np.asarray([float(np.sum(np.asarray(m.body_mass)))
+                         for m in models], np.float32)
+    bone_len = np.stack([np.linalg.norm(np.asarray(m.body_pos), axis=1)
+                         for m in models]).astype(np.float32)
+    obs = []
+    if getattr(cfg, "has_pca", True):
+        obs.append(np.stack(betas))
+    obs.append(np.asarray(genders, np.float32)[:, None])
+    if getattr(cfg, "has_weight", False):
+        obs.append(weight[:, None])
+    if getattr(cfg, "has_bone_length", False):
+        obs.append(bone_len)
+    lib["shape_obs"] = jnp.asarray(np.concatenate(obs, axis=1))
+    lib["weight"] = jnp.asarray(weight)
+    return lib, keys, model_lib
 
 
 def load_neutral(path: str = "/root/reference/sample_data/standing_neutral.pkl"):

@@ -33,6 +33,12 @@ def make_eval_fn(topo: Topology, cfg: EnvConfig, policy_mean_fn,
     eval_cfg = dataclasses.replace(cfg, t_max=10**9, env_episode_len=10**9)
 
     def eval_one(model, expert_lib, aux, params, rs, seq_idx):
+        from uhc_tpu.physics.model import model_gather, model_is_batched
+
+        # shape-conditioned eval: pick this sequence's per-beta model
+        # (reference eval_seq reloads the robot per key, agent_copycat.py:447)
+        if model_is_batched(model):
+            model = model_gather(model, seq_idx)
         state = H.env_reset(topo, model, eval_cfg, jax.random.PRNGKey(0),
                             seq_idx, expert_lib, aux["neutral_qpos"],
                             aux["neutral_qvel"], start_ind=0, train=False)

@@ -131,6 +131,48 @@ class Model:
         return self.body_pos.shape[-2]
 
 
+# base (unbatched) ndim of every Model leaf — used to detect leading
+# batch/library dims on shape-conditioned models
+MODEL_BASE_NDIM = {
+    "body_pos": 2, "body_ipos": 2, "body_mass": 1, "body_inertia": 2,
+    "body_iquat": 2, "armature": 1, "jkp": 1, "jkd": 1, "torque_lim": 1,
+    "a_scale": 1, "jnt_range": 2, "contact_point": 3, "contact_mask": 2,
+    "friction": 0, "contact_stiffness": 0, "contact_damping": 0,
+    "contact_depth_cap": 0, "contact_vreg": 0, "gravity": 1, "dt": 0,
+}
+
+
+def model_batch_axes(m: Model):
+    """A Model of vmap in_axes: 0 for leaves carrying a leading batch dim,
+    None for shared leaves. Lets `vmap` run per-env physics over a pytree
+    that mixes per-shape arrays (body_pos, masses, ...) with shared tables
+    (gains, limits)."""
+    axes = {}
+    for f in dataclasses.fields(Model):
+        v = getattr(m, f.name)
+        nd = jnp.ndim(v)
+        axes[f.name] = 0 if nd > MODEL_BASE_NDIM[f.name] else None
+    return Model(**axes)
+
+
+def model_gather(lib: Model, idx) -> Model:
+    """Index a model *library* (leaves with leading (S,) dims) by sequence
+    index/indices. Shared leaves pass through; idx may be scalar or (B,)."""
+    out = {}
+    for f in dataclasses.fields(Model):
+        v = getattr(lib, f.name)
+        if jnp.ndim(v) > MODEL_BASE_NDIM[f.name]:
+            out[f.name] = jnp.asarray(v)[idx]
+        else:
+            out[f.name] = v
+    return Model(**out)
+
+
+def model_is_batched(m: Model) -> bool:
+    return any(jnp.ndim(getattr(m, f.name)) > MODEL_BASE_NDIM[f.name]
+               for f in dataclasses.fields(Model))
+
+
 def model_to_dtype(m: Model, dtype) -> Model:
     fields = {}
     for f in dataclasses.fields(Model):

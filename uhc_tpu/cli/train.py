@@ -92,6 +92,18 @@ def main():
         if (i + 1) % cfg.save_n_epochs == 0 or i + 1 == epochs:
             agent.save_checkpoint(i + 1)
             logger.info(f"saved checkpoint @ {i + 1}")
+            if args.agent == "copycat":
+                # eval during training (agent_copycat.py:346-349) +
+                # iter_best.p tracking
+                res = agent.eval_policy()
+                s = res["summary"]
+                logger.info(
+                    f"eval @ {i + 1}: coverage={s['coverage']}/"
+                    f"{s['num_seqs']} succ={s['succ']:.3f} "
+                    f"mpjpe={s['mpjpe']:.1f} mpjpe_g={s['mpjpe_g']:.1f}")
+                with open(os.path.join(agent.results_dir,
+                                       f"eval_{i + 1:04d}.json"), "w") as f:
+                    json.dump(s, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -215,11 +215,33 @@ class CopycatAgent:
         self.epoch = epoch
         return stats
 
+    # -- evaluation during training (agent_copycat.py:346-349) --------------
+    def eval_policy(self):
+        """Deterministic eval over the full library; returns the
+        summarize() dict (coverage, mpjpe, ...). Tracks the best coverage
+        and keeps iter_best.p (agent_copycat.py:216-236)."""
+        from uhc_tpu.learn.evaluate import make_eval_fn, summarize
+
+        if not hasattr(self, "_eval_fn") or self._eval_fn is None:
+            max_steps = int(jax.device_get(self.expert_lib["len"]).max())
+            self._eval_fn = make_eval_fn(self.topo, self.env_cfg,
+                                         self.policy_mean_fn, max_steps)
+        traj, fail_safe, percent = self._eval_fn(
+            self.sim_model, self.expert_lib, self.aux,
+            self.ppo_state.policy_params, self.rs)
+        res = summarize(traj, fail_safe, percent, self.expert_lib,
+                        self.seq_keys)
+        cov = res["summary"]["coverage"]
+        if cov >= getattr(self, "_best_coverage", -1):
+            self._best_coverage = cov
+            self.save_checkpoint(self.epoch, name="iter_best.p")
+        return res
+
     # -- checkpointing (pickle, like the reference iter_%04d.p) -------------
     def checkpoint_path(self, epoch):
         return os.path.join(self.results_dir, "models", f"iter_{epoch:04d}.p")
 
-    def save_checkpoint(self, epoch: int):
+    def save_checkpoint(self, epoch: int, name: str | None = None):
         state = {
             "policy_params": jax.device_get(self.ppo_state.policy_params),
             "value_params": jax.device_get(self.ppo_state.value_params),
@@ -228,7 +250,9 @@ class CopycatAgent:
             "sampler": self.sampler.state_dict(),
             "epoch": epoch,
         }
-        with open(self.checkpoint_path(epoch), "wb") as f:
+        path = (os.path.join(self.results_dir, "models", name)
+                if name else self.checkpoint_path(epoch))
+        with open(path, "wb") as f:
             pickle.dump(state, f)
 
     def load_checkpoint(self, epoch: int):

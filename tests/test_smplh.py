@@ -1,0 +1,113 @@
+"""SMPL-H (52-joint) humanoid family (VERDICT round-1 item 4).
+
+Reference: uhc/smpllib/smpl_parser.py:42,464 (SMPLH bone order / parser),
+smpl_mujoco.py:93-200 (hand gain tables). The 24-body path previously
+truncated SMPL-H hand dofs to zeros; the 52-body topology consumes the full
+156-dof pose."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uhc_tpu.config.config import EnvConfig
+from uhc_tpu.data.dataset import build_expert_library
+from uhc_tpu.envs import humanoid_im as H
+from uhc_tpu.physics.model import model_to_dtype
+from uhc_tpu.smpl import smplh as SH
+from uhc_tpu.smpl.constants import ee_indices, head_index
+from uhc_tpu.smpl.mjcf import load_mjcf_humanoid
+
+XML = "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+
+
+@pytest.fixture(scope="module")
+def smplh():
+    topo24, model24 = load_mjcf_humanoid(XML)
+    topo = SH.smplh_topology()
+    model = model_to_dtype(SH.smplh_model(topo24, model24), jnp.float32)
+    return topo, model
+
+
+def test_topology_structure(smplh):
+    topo, model = smplh
+    assert topo.nbody == 52 and topo.nq == 160 and topo.nv == 159
+    assert topo.body_names[0] == "Pelvis"
+    # DFS order: body chain first, fingers hang off each wrist
+    assert topo.body_names[:14] == (
+        "Pelvis", "L_Hip", "L_Knee", "L_Ankle", "L_Toe", "R_Hip", "R_Knee",
+        "R_Ankle", "R_Toe", "Torso", "Spine", "Chest", "Neck", "Head")
+    iw = topo.body_names.index("L_Wrist")
+    assert topo.body_names[iw + 1] == "L_Index1"
+    assert topo.parents[topo.body_names.index("L_Index1")] == iw
+    assert topo.parents[topo.body_names.index("L_Index2")] == \
+        topo.body_names.index("L_Index1")
+    # hands are gone, fingers present
+    assert "L_Hand" not in topo.body_names
+    assert sum("Thumb" in n for n in topo.body_names) == 6
+    # ee/head lookups still resolve
+    np.testing.assert_array_equal(ee_indices(topo), [3, 7, 17, 36, 13])
+    assert head_index(topo) == 13
+
+
+def test_model_tables(smplh):
+    topo, model = smplh
+    assert np.all(np.asarray(model.body_mass) > 0)
+    jkp = np.asarray(model.jkp)
+    assert jkp.shape == (153,)
+    i_f = topo.body_names.index("L_Index1") - 1
+    assert np.all(jkp[3 * i_f:3 * i_f + 3] == 100.0)  # finger gains
+    i_h = topo.body_names.index("L_Hip") - 1
+    assert np.all(jkp[3 * i_h:3 * i_h + 3] == 500.0)
+    # elbow range +-4pi
+    i_e = topo.body_names.index("L_Elbow") - 1
+    assert np.asarray(model.jnt_range)[3 * i_e, 1] == pytest.approx(
+        4 * np.pi)
+    jpw, bdw = SH.smplh_diff_weights()
+    assert jpw.shape == (52,) and bdw.shape == (51,)
+    assert jpw[topo.body_names.index("L_Index1")] == pytest.approx(0.3)
+    assert jpw[topo.body_names.index("L_Toe")] == 0.0
+
+
+def test_smplh_expert_library_and_step(smplh):
+    topo, model = smplh
+    T = 12
+    rng = np.random.RandomState(0)
+    pose = np.zeros((T, 156), np.float32)
+    pose[:, 66:] = rng.uniform(-0.2, 0.2, (T, 90))   # hand articulation
+    trans = np.zeros((T, 3), np.float32); trans[:, 2] = 0.92
+    seqs = {"clip": {"pose_aa": pose, "trans": trans}}
+    lib, keys = build_expert_library(topo, model, seqs)
+    assert lib["qpos"].shape == (1, T, 160)
+    assert lib["wbpos"].shape == (1, T, 52 * 3)
+    # hand dofs are NOT truncated: finger euler angles non-zero
+    iw = topo.body_names.index("L_Index1")
+    fq = np.asarray(lib["qpos"][0, :, 7 + 3 * (iw - 1):7 + 3 * iw])
+    assert np.abs(fq).max() > 0.01
+
+    cfg = EnvConfig(meta_pd=True, residual_force=True, reactive_v=0,
+                    env_init_noise=0.0)
+    ndof, vf, meta = H.action_dims(topo, cfg)
+    assert (ndof, vf, meta) == (153, 6, 30)
+    state = H.env_reset(topo, model, cfg, jax.random.PRNGKey(0),
+                        jnp.zeros((), jnp.int32), lib, lib["qpos"][0, 0],
+                        lib["qvel"][0, 0], train=False)
+    obs = H.get_obs(topo, model, cfg, state, lib)
+    assert obs.shape == (H.obs_dim(topo, cfg),)
+    assert bool(jnp.all(jnp.isfinite(obs)))
+
+    jpw, bdw = SH.smplh_diff_weights()
+    state2, obs2, reward, terms, done = H.env_step(
+        topo, model, cfg, state, jnp.zeros(ndof + vf + meta), lib,
+        jnp.asarray(jpw), jnp.asarray(bdw), train=False)
+    assert bool(jnp.all(jnp.isfinite(state2.qpos)))
+    assert bool(jnp.all(jnp.isfinite(obs2)))
+    assert 0.0 <= float(reward) <= 1.0
+    assert not bool(done)
+
+
+def test_smplh_qpose_rejects_24(smplh):
+    topo, model = smplh
+    from uhc_tpu.data.dataset import _pose_to_qpose
+    with pytest.raises(ValueError):
+        _pose_to_qpose(topo, model, np.zeros((3, 72), np.float32), None)

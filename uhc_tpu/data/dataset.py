@@ -88,17 +88,30 @@ def build_expert_library(topo: Topology, model: Model,
     for k in keys:
         d = seqs[k]
         pose_aa = np.asarray(d["pose_aa"])
-        if pose_aa.shape[-1] > 72:  # SMPL-H 156 -> SMPL body dofs
-            pose_aa = np.concatenate(
-                [pose_aa[:, :66], np.zeros((len(pose_aa), 6), pose_aa.dtype)], -1)
         trans = d.get("trans")
         if max_len is not None:
             pose_aa = pose_aa[:max_len]
             trans = None if trans is None else trans[:max_len]
-        qpos = smpl_to_qpose(pose_aa, model.body_pos[0], trans)
+        qpos = _pose_to_qpose(topo, model, pose_aa, trans)
         feats.append(jax.device_get(qpos_fk(topo, model, qpos, fps)))
 
     return _stack_library(feats), keys
+
+
+def _pose_to_qpose(topo: Topology, model: Model, pose_aa, trans):
+    """Route the pose vector to the topology's converter: SMPL-H 52-body
+    humanoids consume the full 156-dof pose; 24-body humanoids take 72 dofs
+    (SMPL-H poses have their hand dofs dropped, reference
+    smpl_to_qpose(model='smpl') behavior)."""
+    if topo.nbody == 52:
+        from uhc_tpu.smpl.smplh import smplh_to_qpose
+        if pose_aa.shape[-1] == 72:
+            raise ValueError("52-body topology needs 156-dof SMPL-H poses")
+        return smplh_to_qpose(pose_aa, model.body_pos[0], trans)
+    if pose_aa.shape[-1] > 72:  # SMPL-H 156 -> SMPL body dofs
+        pose_aa = np.concatenate(
+            [pose_aa[:, :66], np.zeros((len(pose_aa), 6), pose_aa.dtype)], -1)
+    return smpl_to_qpose(pose_aa, model.body_pos[0], trans)
 
 
 def _stack_library(feats):
@@ -171,15 +184,11 @@ def build_shaped_library(topo: Topology, base_model: Model, seqs,
         model_s = model_from_betas(topo, base_model, sd,
                                    jnp.asarray(beta16[:n_b]), assign[id(sd)])
         pose_aa = np.asarray(d["pose_aa"])
-        if pose_aa.shape[-1] > 72:
-            pose_aa = np.concatenate(
-                [pose_aa[:, :66],
-                 np.zeros((len(pose_aa), 6), pose_aa.dtype)], -1)
         trans = d.get("trans")
         if max_len is not None:
             pose_aa = pose_aa[:max_len]
             trans = None if trans is None else trans[:max_len]
-        qpos = smpl_to_qpose(pose_aa, model_s.body_pos[0], trans)
+        qpos = _pose_to_qpose(topo, model_s, pose_aa, trans)
         feats.append(jax.device_get(qpos_fk(topo, model_s, qpos, fps)))
         models.append(jax.device_get(model_s))
         betas.append(beta16)

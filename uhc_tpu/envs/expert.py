@@ -24,7 +24,7 @@ from uhc_tpu.maths import (
 )
 from uhc_tpu.physics import engine as E
 from uhc_tpu.physics.model import Model, Topology
-from uhc_tpu.smpl.constants import SMPL_EE_INDICES
+from uhc_tpu.smpl.constants import ee_indices, head_index
 
 
 def qpos_fk(topo: Topology, model: Model, qpos_seq: jnp.ndarray, fps: float = 30.0):
@@ -33,6 +33,8 @@ def qpos_fk(topo: Topology, model: Model, qpos_seq: jnp.ndarray, fps: float = 30
     T = qpos_seq.shape[0]
     dt = 1.0 / fps
 
+    ee_idx = ee_indices(topo)
+    head_idx = head_index(topo)
     kin = jax.vmap(lambda q: E.fk(topo, model, q))(qpos_seq)
     wbpos = kin["xpos"]            # (T, nb, 3)
     wbquat = kin["xquat"]          # (T, nb, 4)
@@ -55,7 +57,7 @@ def qpos_fk(topo: Topology, model: Model, qpos_seq: jnp.ndarray, fps: float = 30
     else:
         bang = jnp.zeros((1, topo.nbody * 3), qpos_seq.dtype)
 
-    ee_wpos = wbpos[:, SMPL_EE_INDICES]                       # (T, 5, 3)
+    ee_wpos = wbpos[:, ee_idx]                       # (T, 5, 3)
     root_q = qpos_seq[:, 3:7]
     ee_rel = ee_wpos - wbpos[:, 0:1]
     ee_pos = transform_vec(ee_rel, root_q[:, None], "root")
@@ -77,14 +79,11 @@ def qpos_fk(topo: Topology, model: Model, qpos_seq: jnp.ndarray, fps: float = 30
         "ee_wpos": ee_wpos.reshape(T, -1),
         "ee_pos": ee_pos.reshape(T, -1),
         "com": body_com[:, 0],
-        "head_pos": wbpos[:, 13],  # Head body index in mujoco order
+        "head_pos": wbpos[:, head_idx],
         "height_lb": jnp.min(qpos_seq[:, 2]),
-        "head_height_lb": jnp.min(wbpos[:, 13, 2]),
+        "head_height_lb": jnp.min(wbpos[:, head_idx, 2]),
         "len": T,
     }
-
-HEAD_BODY_IDX = 13
-
 
 def qpos_fk_frame(topo: Topology, model: Model, qpos: jnp.ndarray):
     """Single-frame FK target dict (numpy_smpl_humanoid.Humanoid.qpos_fk on
@@ -93,7 +92,7 @@ def qpos_fk_frame(topo: Topology, model: Model, qpos: jnp.ndarray):
     kin = E.fk(topo, model, qpos)
     joint_quats = quat_from_euler_zyx(qpos[7:].reshape(-1, 3))
     bquat = jnp.concatenate([qpos[None, 3:7], joint_quats], axis=0)
-    ee_wpos = kin["xpos"][SMPL_EE_INDICES]
+    ee_wpos = kin["xpos"][ee_indices(topo)]
     return {
         "qpos": qpos,
         "wbpos": kin["xpos"].reshape(-1),
@@ -101,6 +100,6 @@ def qpos_fk_frame(topo: Topology, model: Model, qpos: jnp.ndarray):
         "bquat": bquat.reshape(-1),
         "body_com": kin["xipos"].reshape(-1),
         "ee_wpos": ee_wpos.reshape(-1),
-        "head_pose": jnp.concatenate([kin["xpos"][HEAD_BODY_IDX],
-                                      kin["xquat"][HEAD_BODY_IDX]]),
+        "head_pose": jnp.concatenate([kin["xpos"][head_index(topo)],
+                                      kin["xquat"][head_index(topo)]]),
     }

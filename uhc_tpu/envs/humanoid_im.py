@@ -39,7 +39,7 @@ from uhc_tpu.maths import (
 )
 from uhc_tpu.physics import engine as E
 from uhc_tpu.physics.model import Model, Topology
-from uhc_tpu.smpl.constants import SMPL_EE_INDICES
+from uhc_tpu.smpl.constants import head_index
 
 
 @jax.tree_util.register_dataclass
@@ -663,7 +663,8 @@ def env_post_step(topo: Topology, model: Model, cfg: EnvConfig,
         fail = state.qpos[2] < expert_lib["height_lb"][state.seq_idx] - 0.1
     else:  # "Head"
         kin = E.fk(topo, model, state.qpos)
-        fail = kin["xpos"][13, 2] < expert_lib["head_height_lb"][state.seq_idx] - 0.1
+        fail = kin["xpos"][head_index(topo), 2] < \
+            expert_lib["head_height_lb"][state.seq_idx] - 0.1
     # numerical blow-up counts as failure (the reference catches MuJoCo
     # exceptions, humanoid_im.py:1207-1211)
     blown = ~jnp.all(jnp.isfinite(qpos)) | (jnp.max(jnp.abs(qvel)) > 1e4)

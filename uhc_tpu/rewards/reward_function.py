@@ -30,7 +30,7 @@ from uhc_tpu.envs import humanoid_im as H
 from uhc_tpu.maths import (angvel_fd, de_heading, multi_quat_diff,
                            multi_quat_norm, qvel_fd, transform_vec)
 from uhc_tpu.physics import engine as E
-from uhc_tpu.smpl.constants import SMPL_EE_INDICES
+from uhc_tpu.smpl.constants import ee_indices
 
 
 def _terms(topo, model, cfg, state, action, expert_lib, aux):
@@ -40,7 +40,7 @@ def _terms(topo, model, cfg, state, action, expert_lib, aux):
     dt = cfg.ctrl_dt
     jpos_diffw, body_diffw = aux["jpos_diffw"], aux["body_diffw"]
 
-    cur_ee = kin["xpos"][SMPL_EE_INDICES].reshape(-1)
+    cur_ee = kin["xpos"][ee_indices(topo)].reshape(-1)
     cur_bquat = H.get_body_quat(state.qpos)
     cur_bangvel = angvel_fd(state.prev_bquat, cur_bquat, dt)
     cur_com = kin["xipos"][0]
@@ -110,7 +110,7 @@ def _explicit_terms(topo, model, cfg, state, action, expert_lib, aux):
     dt = cfg.ctrl_dt
     body_diffw = aux["body_diffw"]
 
-    cur_ee = kin["xpos"][SMPL_EE_INDICES].reshape(-1)
+    cur_ee = kin["xpos"][ee_indices(topo)].reshape(-1)
     cur_bquat = H.get_body_quat(state.qpos)
     cur_bangvel = angvel_fd(state.prev_bquat, cur_bquat, dt)
     cur_com = kin["xipos"][0]
@@ -179,7 +179,7 @@ def _local_terms(topo, model, cfg, state, expert_lib, aux):
     cur_rangv = cur_qvel[3:6]
     cur_rq_rmh = de_heading(qpos[3:7])
     root_pos, root_quat = qpos[:3], qpos[3:7]
-    cur_ee = transform_vec(kin["xpos"][SMPL_EE_INDICES] - root_pos,
+    cur_ee = transform_vec(kin["xpos"][ee_indices(topo)] - root_pos,
                            root_quat[None], cfg.obs_coord).reshape(-1)
     cur_bquat = H.get_body_quat(qpos)
     cur_bangvel = angvel_fd(state.prev_bquat, cur_bquat, dt)

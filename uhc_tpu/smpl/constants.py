@@ -42,6 +42,17 @@ SMPL_EE_INDICES = np.array(
     [MUJOCO_BODY_ORDER.index(n) for n in SMPL_EE_NAMES], dtype=np.int32)
 HEAD_INDEX = MUJOCO_BODY_ORDER.index("Head")
 
+
+def ee_indices(topo) -> np.ndarray:
+    """End-effector body indices for any topology carrying the SMPL body
+    names (SMPL-24, SMPL-H-52, masterfoot variants)."""
+    names = list(topo.body_names)
+    return np.array([names.index(n) for n in SMPL_EE_NAMES], np.int32)
+
+
+def head_index(topo) -> int:
+    return list(topo.body_names).index("Head")
+
 NUM_BODIES = len(MUJOCO_BODY_ORDER)      # 24
 NQ = 3 + 4 + (NUM_BODIES - 1) * 3        # 76
 NV = 6 + (NUM_BODIES - 1) * 3            # 75

@@ -57,6 +57,13 @@ class EnvConfig:
     meta_pd_joint: bool = False
     t_min: int = 15      # data_specs window bounds (dataset_amass_single.py)
     t_max: int = 300
+    # robot family: "smpl" (24 bodies) or "smplh" (52, articulated hands)
+    # (copycat_config.py:121 robot_cfg["model"])
+    robot_model: str = "smpl"
+    # foot-model variants (config/masterfoot, config/bigfoot)
+    masterfoot: bool = False
+    master_range: float = 30.0
+    bigfoot: bool = False
     has_shape: bool = False
     has_shape_obs: bool = True
     # shape-obs composition (humanoid_im.py:1390 get_expert_shape_and_gender)
@@ -191,6 +198,10 @@ class Config:
             meta_pd_joint=d.get("meta_pd_joint", False),
             t_min=d.get("data_specs", {}).get("t_min", 15),
             t_max=d.get("data_specs", {}).get("t_max", 300),
+            robot_model=d.get("robot", {}).get("model", "smpl"),
+            masterfoot=d.get("masterfoot", False),
+            master_range=d.get("master_range", 30.0),
+            bigfoot="bigfoot" in d.get("mujoco_model", ""),
             has_shape=d.get("has_shape", False),
             has_shape_obs=d.get("has_shape_obs", True),
             has_pca=d.get("has_pca", True),

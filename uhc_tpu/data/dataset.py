@@ -77,12 +77,18 @@ def seq_beta_gender(d: dict, n_betas: int = 16):
 
 def build_expert_library(topo: Topology, model: Model,
                          seqs: Dict[str, dict], fps: float = 30.0,
-                         max_len: Optional[int] = None):
+                         max_len: Optional[int] = None,
+                         converter=None, base_root_offset=None):
     """Featurize + pad + stack sequences into the expert library pytree.
 
     Padding repeats the last frame so out-of-range gathers (already clamped
     by expert_at) stay harmless. Returns (lib dict of (S, Tmax, ...) arrays
-    + len/height bounds, list of keys)."""
+    + len/height bounds, list of keys).
+
+    For mutated topologies (masterfoot), pass the SMPLConverter and the
+    base (smpl-24) root offset: poses convert through the canonical 24-body
+    qpos and are remapped onto the new tree (reference humanoid_im.py:212 +
+    smpl_mujoco.py qpos remaps), leaving the new joints at zero."""
     keys = list(seqs.keys())
     feats = []
     for k in keys:
@@ -92,7 +98,15 @@ def build_expert_library(topo: Topology, model: Model,
         if max_len is not None:
             pose_aa = pose_aa[:max_len]
             trans = None if trans is None else trans[:max_len]
-        qpos = _pose_to_qpose(topo, model, pose_aa, trans)
+        if converter is not None:
+            if pose_aa.shape[-1] > 72:
+                pose_aa = np.concatenate(
+                    [pose_aa[:, :66],
+                     np.zeros((len(pose_aa), 6), pose_aa.dtype)], -1)
+            qpos24 = smpl_to_qpose(pose_aa, base_root_offset, trans)
+            qpos = converter.qpos_smpl_2_new(qpos24)
+        else:
+            qpos = _pose_to_qpose(topo, model, pose_aa, trans)
         feats.append(jax.device_get(qpos_fk(topo, model, qpos, fps)))
 
     return _stack_library(feats), keys

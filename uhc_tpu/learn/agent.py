@@ -58,6 +58,26 @@ class CopycatAgent:
 
         self.topo, model = load_mjcf_humanoid(model_xml)
         self.model = model_to_dtype(model, jnp.float32)
+        self._smplh = self.env_cfg.robot_model == "smplh"
+        if self._smplh:
+            # SMPL-H 52-body family (config robot.model == "smplh")
+            from uhc_tpu.smpl.smplh import smplh_model, smplh_topology
+            model52 = smplh_model(self.topo, self.model)
+            self.topo = smplh_topology()
+            self.model = model_to_dtype(model52, jnp.float32)
+
+        # foot-model variants (config/bigfoot, config/masterfoot)
+        self.converter = None
+        base_root_offset = self.model.body_pos[0]
+        if self.env_cfg.bigfoot:
+            from uhc_tpu.smpl.masterfoot import bigfoot_model
+            self.model = model_to_dtype(
+                bigfoot_model(self.topo, self.model), jnp.float32)
+        if self.env_cfg.masterfoot:
+            from uhc_tpu.smpl.masterfoot import masterfoot_model
+            self.topo, model_mf, self.converter = masterfoot_model(
+                self.topo, self.model, self.env_cfg.master_range)
+            self.model = model_to_dtype(model_mf, jnp.float32)
 
         seqs = load_motion_file(motion_file)
         if self.env_cfg.has_shape:
@@ -76,11 +96,31 @@ class CopycatAgent:
             self.sim_model = model_to_dtype(model_lib, jnp.float32)
         else:
             self.expert_lib, self.seq_keys = build_expert_library(
-                self.topo, self.model, seqs, max_len=max_seq_len)
+                self.topo, self.model, seqs, max_len=max_seq_len,
+                converter=self.converter, base_root_offset=base_root_offset)
             self.sim_model = self.model
         nq, nv = self.topo.nq, self.topo.nv
         neutral_qpos, neutral_qvel = load_neutral()
-        jpw, bdw = default_diff_weights()
+        if self.converter is not None:
+            # remap the 24-body neutral reset pose onto the mutated tree
+            neutral_qpos = self.converter.qpos_smpl_2_new(neutral_qpos)
+            neutral_qvel = self.converter.qvel_smpl_2_new(neutral_qvel)
+            jpw = self.converter.get_new_diff_weight().astype(np.float32)
+            bdw = jpw[1:]
+        elif self._smplh:
+            from uhc_tpu.smpl.constants import (MUJOCO_BODY_ORDER,
+                                                MUJOCO_PARENTS)
+            from uhc_tpu.smpl.converter import SMPLConverter
+            from uhc_tpu.smpl.smplh import smplh_diff_weights
+            from uhc_tpu.physics.model import Topology as _T
+            topo24 = _T(24, tuple(int(p) for p in MUJOCO_PARENTS),
+                        tuple(MUJOCO_BODY_ORDER))
+            nconv = SMPLConverter(topo24, self.topo, smpl_model="smplh")
+            neutral_qpos = nconv.qpos_smpl_2_new(neutral_qpos)
+            neutral_qvel = nconv.qvel_smpl_2_new(neutral_qvel)
+            jpw, bdw = smplh_diff_weights()
+        else:
+            jpw, bdw = default_diff_weights()
         self.aux = {
             "neutral_qpos": neutral_qpos, "neutral_qvel": neutral_qvel,
             "jpos_diffw": jnp.asarray(jpw), "body_diffw": jnp.asarray(bdw),

@@ -158,19 +158,36 @@ def velocities(topo: Topology, kin, qvel):
 
 
 def jacobians(topo: Topology, kin):
-    """Dense COM Jacobians. Returns Jlin, Jang with shape (nb, 3, nv)."""
+    """Dense COM Jacobians. Returns Jlin, Jang with shape (nb, 3, nv).
+
+    Built component-wise so every materialized intermediate is
+    (nb, nv)-shaped — trailing dim nv, not 3. TPU tiles the two minor
+    dims to (8, 128); a trailing dim of 3 wastes ~97% of the HBM
+    bandwidth these (B·nb·nv)-sized tensors consume, and this chain is
+    the measured throughput wall of `assemble` (r2 profile)."""
     mask = jnp.asarray(topo.ancestor_mask(), kin["axes"].dtype)  # (nb, nv)
     axes, anchors, xipos = kin["axes"], kin["anchors"], kin["xipos"]
     nv = axes.shape[0]
     is_lin = jnp.zeros((nv,), axes.dtype).at[0:3].set(1.0)
-    # rotational columns: a_j × (c_i − p_j); linear columns: a_j
-    r = xipos[:, None, :] - anchors[None, :, :]          # (nb, nv, 3)
-    rot_cols = jnp.cross(axes[None, :, :], r)            # (nb, nv, 3)
-    lin_cols = is_lin[None, :, None] * axes[None, :, :] + (
-        1.0 - is_lin[None, :, None]) * rot_cols
-    Jlin = (mask[:, :, None] * lin_cols).transpose(0, 2, 1)
-    Jang = (mask[:, :, None] * (1.0 - is_lin[None, :, None]) * axes[None, :, :]
-            ).transpose(0, 2, 1)
+
+    ax, ay, az = axes[:, 0], axes[:, 1], axes[:, 2]            # (nv,)
+    # r = c_i − p_j, per component: (nb, nv)
+    rx = xipos[:, 0:1] - anchors[None, :, 0]
+    ry = xipos[:, 1:2] - anchors[None, :, 1]
+    rz = xipos[:, 2:3] - anchors[None, :, 2]
+    # rotational columns a_j × r, per component
+    rcx = ay[None, :] * rz - az[None, :] * ry
+    rcy = az[None, :] * rx - ax[None, :] * rz
+    rcz = ax[None, :] * ry - ay[None, :] * rx
+    lin = is_lin[None, :]
+    Jlin = jnp.stack([
+        mask * (lin * ax[None, :] + (1.0 - lin) * rcx),
+        mask * (lin * ay[None, :] + (1.0 - lin) * rcy),
+        mask * (lin * az[None, :] + (1.0 - lin) * rcz),
+    ], axis=1)                                                  # (nb, 3, nv)
+    rot = mask * (1.0 - lin)
+    Jang = jnp.stack([rot * ax[None, :], rot * ay[None, :],
+                      rot * az[None, :]], axis=1)
     return Jlin, Jang
 
 
@@ -235,19 +252,35 @@ def contact_terms(topo: Topology, model: Model, kin, vel):
     """
     cp, cmask = model.contact_point, model.contact_mask   # (nb,K,3), (nb,K)
     xpos, xquat, xipos = kin["xpos"], kin["xquat"], kin["xipos"]
-    wp = xpos[:, None] + quat_rotate(xquat[:, None], cp)  # (nb,K,3) world
-    vp = vel["vel"][:, None] + jnp.cross(vel["omega"][:, None],
-                                         wp - xpos[:, None])
-    depth = wp[..., 2]
-    active = (depth < 0.0).astype(wp.dtype) * cmask
-    pen = jnp.clip(-depth, 0.0, model.contact_depth_cap)
+    dtype = xpos.dtype
+
+    # All (nb, K)-shaped component arrays — no trailing-3 tensors (a
+    # trailing dim of 3 wastes ~97% of HBM bandwidth under (8,128) tiling).
+    cpx, cpy, cpz = cp[..., 0], cp[..., 1], cp[..., 2]
+    qw, qx = xquat[:, 0:1], xquat[:, 1:2]
+    qy, qz = xquat[:, 2:3], xquat[:, 3:4]
+    # quat_rotate component form: t = 2 q_v × v; out = v + q_w t + q_v × t
+    tx = 2.0 * (qy * cpz - qz * cpy)
+    ty = 2.0 * (qz * cpx - qx * cpz)
+    tz = 2.0 * (qx * cpy - qy * cpx)
+    dx = cpx + qw * tx + (qy * tz - qz * ty)              # wp − xpos
+    dy = cpy + qw * ty + (qz * tx - qx * tz)
+    dz = cpz + qw * tz + (qx * ty - qy * tx)
+    wpz = xpos[:, 2:3] + dz
+    ox, oy, oz = (vel["omega"][:, 0:1], vel["omega"][:, 1:2],
+                  vel["omega"][:, 2:3])
+    vpx = vel["vel"][:, 0:1] + (oy * dz - oz * dy)
+    vpy = vel["vel"][:, 1:2] + (oz * dx - ox * dz)
+
+    active = (wpz < 0.0).astype(dtype) * cmask
+    pen = jnp.clip(-wpz, 0.0, model.contact_depth_cap)
     fn = model.contact_stiffness * pen * active           # (nb,K)
 
     # implicit damping coefficients per point: normal damping, and viscous
     # friction whose coefficient saturates the tangential force near μ·fn
     # once |v_t| reaches contact_vreg (approximate cone), capped to keep
     # cond(M + dt·J6ᵀWJ6) within f32 Cholesky range
-    vt_norm = jnp.sqrt(vp[..., 0] ** 2 + vp[..., 1] ** 2 + 1e-12)
+    vt_norm = jnp.sqrt(vpx**2 + vpy**2 + 1e-12)
     b = model.contact_damping * active                    # normal coeff
     a = active * jnp.minimum(
         model.friction * fn / jnp.maximum(vt_norm, model.contact_vreg),
@@ -255,9 +288,11 @@ def contact_terms(topo: Topology, model: Model, kin, vel):
 
     # spring wrench about the COM: force is fn·ẑ at point wp, so
     # F = (0,0,Σfn), T = Σ fn·(r × ẑ) = (Σ fn·ry, -Σ fn·rx, 0)
-    r = wp - xipos[:, None]                               # (nb,K,3)
-    rx, ry, rz = r[..., 0], r[..., 1], r[..., 2]
-    zsum = jnp.zeros((topo.nbody,), wp.dtype)
+    # r = wp − xipos, per component
+    rx = xpos[:, 0:1] + dx - xipos[:, 0:1]
+    ry = xpos[:, 1:2] + dy - xipos[:, 1:2]
+    rz = wpz - xipos[:, 2:3]
+    zsum = jnp.zeros((topo.nbody,), dtype)
     F = jnp.stack([zsum, zsum, jnp.sum(fn, -1)], axis=-1)
     T = jnp.stack([jnp.sum(fn * ry, -1), -jnp.sum(fn * rx, -1), zsum], -1)
 

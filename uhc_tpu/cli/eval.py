@@ -23,6 +23,9 @@ def main():
     p.add_argument("--data",
                    default="/root/reference/sample_data/standing_neutral.pkl")
     p.add_argument("--max-seq-len", type=int, default=None)
+    p.add_argument("--dump", default=None,
+                   help="write per-seq gt/pred trajectories to this pkl "
+                        "(consumed by uhc_tpu.cli.eval_imitation)")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -43,13 +46,37 @@ def main():
     eval_fn = make_eval_fn(agent.topo, agent.env_cfg, agent.policy_mean_fn,
                            max_steps)
     traj, fail_safe, percent = eval_fn(
-        agent.model, agent.expert_lib, agent.aux,
+        agent.sim_model, agent.expert_lib, agent.aux,
         agent.ppo_state.policy_params, agent.rs)
     res = summarize(traj, fail_safe, percent, agent.expert_lib,
                     agent.seq_keys)
     for k, m in res["per_seq"].items():
         print(k, json.dumps({kk: round(vv, 2) for kk, vv in m.items()}))
     print("SUMMARY", json.dumps(res["summary"], indent=2))
+
+    if args.dump:
+        # per-sequence trajectory dump (eval_uhc.py --mode stats result pkl
+        # layout; feeds scripts/eval_imitation.py's standalone re-eval)
+        import joblib
+        import numpy as np
+        import jax
+        traj_np = jax.device_get(traj)
+        lens = np.asarray(jax.device_get(agent.expert_lib["len"]))
+        gt_q = np.asarray(jax.device_get(agent.expert_lib["qpos"]))
+        gt_j = np.asarray(jax.device_get(agent.expert_lib["wbpos"]))
+        out = {}
+        for s, key in enumerate(agent.seq_keys):
+            T = int(lens[s]) - 1
+            out[key] = {
+                "pred_qpos": traj_np["pred_qpos"][s][:T],
+                "pred_jpos": traj_np["pred_jpos"][s][:T],
+                "gt_qpos": gt_q[s][1:T + 1],
+                "gt_jpos": gt_j[s][1:T + 1],
+                "fail_safe": bool(np.asarray(fail_safe)[s]),
+                "percent": float(np.asarray(percent)[s]),
+            }
+        joblib.dump(out, args.dump)
+        print(f"dumped {len(out)} sequences -> {args.dump}")
 
 
 if __name__ == "__main__":

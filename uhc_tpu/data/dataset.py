@@ -43,7 +43,8 @@ def load_motion_file(path: str) -> Dict[str, dict]:
         # columnar layout: {field: {key: array}}
         keys = list(raw["pose_aa"].keys())
         return {k: {f: (raw[f][k] if f in raw and k in raw[f] else None)
-                    for f in ("pose_aa", "trans", "beta", "gender")}
+                    for f in ("pose_aa", "trans", "beta", "gender",
+                              "obj_pose", "obj_info")}
                 for k in keys}
     # row layout: {key: {fields}}
     return raw
@@ -107,9 +108,19 @@ def build_expert_library(topo: Topology, model: Model,
             qpos = converter.qpos_smpl_2_new(qpos24)
         else:
             qpos = _pose_to_qpose(topo, model, pose_aa, trans)
-        feats.append(jax.device_get(qpos_fk(topo, model, qpos, fps)))
+        feat = jax.device_get(qpos_fk(topo, model, qpos, fps))
+        # object-scene track (dataset_smpl_obj.py: per-frame free-joint qpos
+        # of scene objects, appended to resets in the reference env,
+        # humanoid_im.py:1285-1292); carried as an expert feature so the
+        # env/obs side can gather it per frame
+        op = d.get("obj_pose")
+        if op is not None:
+            feat["obj_pose"] = np.asarray(op, np.float32)[:qpos.shape[0]]
+        feats.append(feat)
 
-    return _stack_library(feats), keys
+    lib = _stack_library(feats, extra_keys=(
+        ["obj_pose"] if any("obj_pose" in f for f in feats) else []))
+    return lib, keys
 
 
 def _pose_to_qpose(topo: Topology, model: Model, pose_aa, trans):
@@ -128,11 +139,17 @@ def _pose_to_qpose(topo: Topology, model: Model, pose_aa, trans):
     return smpl_to_qpose(pose_aa, model.body_pos[0], trans)
 
 
-def _stack_library(feats):
+def _stack_library(feats, extra_keys=()):
     """Pad (repeat last frame) + stack per-sequence feature dicts."""
     Tmax = max(f["len"] for f in feats)
     lib = {}
-    for key in EXPERT_KEYS + ["head_pos"]:
+    for key in extra_keys:
+        # optional tracks (obj_pose): zero-fill sequences lacking them
+        width = next(f[key].shape[-1] for f in feats if key in f)
+        for f in feats:
+            if key not in f:
+                f[key] = np.zeros((f["len"], width), np.float32)
+    for key in list(EXPERT_KEYS) + ["head_pos"] + list(extra_keys):
         stacked = []
         for f in feats:
             a = np.asarray(f[key])

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Dict, Sequence
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -284,7 +286,95 @@ def value_apply(params, x, activation):
     return (h @ params["head"]["w"] + params["head"]["b"])[..., 0]
 
 
-def make_policy(cfg, state_dim, action_dim, key, dtype=jnp.float32):
+# -- Transformer policy (uhc/models/tf_policy.py:11 PolicyTransformer) -------
+# The reference policy tokenizes the robot per body (attr/sim/design obs per
+# node), runs a TransformerEncoder with sinusoidal positions and reads the
+# action from per-token heads. Here: tokens = per-body observation rows plus
+# the broadcast global block; per-token heads emit the 3 joint dofs, a
+# pooled head emits the remaining (root/RFC/meta-PD) action dims.
+
+
+def _pos_encoding(n, d):
+    pos = np.arange(n)[:, None]
+    i = np.arange(d)[None, :]
+    angle = pos / np.power(10000.0, (2 * (i // 2)) / d)
+    enc = np.where(i % 2 == 0, np.sin(angle), np.cos(angle))
+    return jnp.asarray(enc, jnp.float32)
+
+
+def policy_transformer_init(key, n_tokens, token_dim, global_dim, action_dim,
+                            log_std, d_model=128, nhead=4, ff_dim=256,
+                            nlayers=2, dtype=jnp.float32):
+    ks = jax.random.split(key, 4 + 6 * nlayers)
+    tok_in = token_dim + global_dim
+    params = {
+        "embed": _linear_init(ks[0], tok_in, d_model, dtype=dtype),
+        "layers": [],
+        "head_tok": _linear_init(ks[1], d_model, 3, scale=0.01, dtype=dtype),
+        "head_glob": _linear_init(ks[2], d_model,
+                                  action_dim - 3 * n_tokens,
+                                  scale=0.01, dtype=dtype),
+        "log_std": jnp.full((action_dim,), log_std, dtype),
+    }
+    for li in range(nlayers):
+        k = ks[4 + 6 * li:4 + 6 * (li + 1)]
+        params["layers"].append({
+            "wqkv": _linear_init(k[0], d_model, 3 * d_model, dtype=dtype),
+            "wo": _linear_init(k[1], d_model, d_model, dtype=dtype),
+            "ff1": _linear_init(k[2], d_model, ff_dim, dtype=dtype),
+            "ff2": _linear_init(k[3], ff_dim, d_model, dtype=dtype),
+            "ln1": {"g": jnp.ones(d_model, dtype),
+                    "b": jnp.zeros(d_model, dtype)},
+            "ln2": {"g": jnp.ones(d_model, dtype),
+                    "b": jnp.zeros(d_model, dtype)},
+        })
+    meta = dict(n_tokens=n_tokens, token_dim=token_dim,
+                global_dim=global_dim, d_model=d_model, nhead=nhead)
+    return params, meta
+
+
+def _ln(x, p):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
+
+
+def policy_transformer_mean(params, meta, obs):
+    """obs (B, global_dim + n_tokens*token_dim) -> action mean
+    (B, 3*n_tokens + rest). Pre-norm transformer encoder."""
+    B = obs.shape[0]
+    nt, td, gd = meta["n_tokens"], meta["token_dim"], meta["global_dim"]
+    d, nh = meta["d_model"], meta["nhead"]
+    g = obs[:, :gd]
+    toks = obs[:, gd:].reshape(B, nt, td)
+    x = jnp.concatenate(
+        [toks, jnp.broadcast_to(g[:, None, :], (B, nt, gd))], axis=-1)
+    h = x @ params["embed"]["w"] + params["embed"]["b"]
+    h = h + _pos_encoding(nt, d)[None]
+    hd = d // nh
+    for lp in params["layers"]:
+        hn = _ln(h, lp["ln1"])
+        qkv = hn @ lp["wqkv"]["w"] + lp["wqkv"]["b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, nt, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, nt, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, nt, nh, hd).transpose(0, 2, 1, 3)
+        att = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2)
+                             / np.sqrt(hd), axis=-1)
+        o = (att @ v).transpose(0, 2, 1, 3).reshape(B, nt, d)
+        h = h + o @ lp["wo"]["w"] + lp["wo"]["b"]
+        hn = _ln(h, lp["ln2"])
+        h = h + jax.nn.gelu(hn @ lp["ff1"]["w"] + lp["ff1"]["b"]) \
+            @ lp["ff2"]["w"] + lp["ff2"]["b"]
+    per_tok = (h @ params["head_tok"]["w"]
+               + params["head_tok"]["b"]).reshape(B, 3 * nt)
+    pooled = jnp.mean(h, axis=1)
+    rest = pooled @ params["head_glob"]["w"] + params["head_glob"]["b"]
+    return jnp.concatenate([per_tok, rest], axis=-1)
+
+
+def make_policy(cfg, state_dim, action_dim, key, dtype=jnp.float32,
+                n_tokens=None, token_dim=None):
     """Factory: returns (params, mean_fn(params, obs) -> action mean).
     Registry twin of uhc/models/__init__.py policy_dict."""
     if cfg.actor_type == "mcp":
@@ -292,6 +382,15 @@ def make_policy(cfg, state_dim, action_dim, key, dtype=jnp.float32):
                                  cfg.composer_dim, cfg.num_primitive,
                                  cfg.log_std, dtype)
         fn = lambda p, x: policy_mcp_mean(p, x, cfg.policy_htype)
+    elif cfg.actor_type == "transformer":
+        if n_tokens is None or token_dim is None:
+            raise ValueError("actor_type=transformer needs n_tokens and "
+                             "token_dim (per-body observation rows)")
+        global_dim = state_dim - n_tokens * token_dim
+        params, meta = policy_transformer_init(
+            key, n_tokens, token_dim, global_dim, action_dim, cfg.log_std,
+            dtype=dtype)
+        fn = lambda p, x: policy_transformer_mean(p, meta, x)
     else:
         params = policy_gaussian_init(key, state_dim, action_dim,
                                       cfg.policy_hsize, cfg.log_std, dtype)

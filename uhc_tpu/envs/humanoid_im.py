@@ -179,7 +179,8 @@ def do_simulation(topo: Topology, model: Model, cfg: EnvConfig, qpos, qvel,
                            else "height")
 
         qp, qv, tau = E.substep(topo, model, qp, qv, target_pos, kp, kd,
-                                qfrc_applied, vf_body, vf_gate)
+                                qfrc_applied, vf_body, vf_gate,
+                                cfg.self_collision)
         return (qp, qv), None
 
     (qpos, qvel), _ = jax.lax.scan(sub, (qpos, qvel),

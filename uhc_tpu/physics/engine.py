@@ -27,6 +27,8 @@ State is a bare (qpos, qvel) pair; the engine is purely functional.
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -346,6 +348,65 @@ def contact_qfrc(topo, model, kin, vel, Jlin, Jang):
     return q, W
 
 
+def self_collision_terms(topo: Topology, model: Model, kin, vel,
+                         k: float = 3000.0, d: float = 50.0):
+    """Body-body contacts over the curated pair set
+    (smpl.constants.self_collision_pairs): each body is a chain of SC
+    spheres (model.sc_point/sc_radius); penetrating sphere pairs get a
+    penalty normal force with clamped explicit damping (d·dt/m stays well
+    under the 450 Hz stability bound for limb masses).
+
+    Returns (F (nb,3), T (nb,3)) world-frame force/torque-about-COM sums —
+    added to the ground-contact wrench before the Jacobian projection.
+    MuJoCo reference behavior: geoms share one contype/conaffinity group and
+    collide unless excluded (smpl_parser.py:315-329)."""
+    from uhc_tpu.smpl.constants import self_collision_pairs
+
+    pairs = self_collision_pairs(topo)
+    nb = topo.nbody
+    if len(pairs) == 0:
+        z = jnp.zeros((nb, 3), kin["xpos"].dtype)
+        return z, z
+    pi, pj = pairs[:, 0], pairs[:, 1]              # static (P,)
+    P = len(pi)
+    xpos, xquat, xipos = kin["xpos"], kin["xquat"], kin["xipos"]
+
+    def world_spheres(idx):
+        cp = model.sc_point[idx]                   # (P, SC, 3)
+        return xpos[idx][:, None] + quat_rotate(xquat[idx][:, None], cp)
+
+    wi = world_spheres(pi)                         # (P, SC, 3)
+    wj = world_spheres(pj)
+    ri = model.sc_radius[pi][:, None, None]
+    rj = model.sc_radius[pj][:, None, None]
+    diff = wi[:, :, None, :] - wj[:, None, :, :]   # (P, SC, SC, 3)
+    dist = jnp.sqrt(jnp.sum(diff**2, -1) + 1e-12)  # (P, SC, SC)
+    depth = (ri + rj[:, :, 0][:, None]) - dist
+    act = (depth > 0.0).astype(dist.dtype)
+    n = diff / dist[..., None]
+    # contact-point velocity difference projected on the normal
+    vel_i = (vel["vel"][pi][:, None] + jnp.cross(
+        vel["omega"][pi][:, None], wi - xpos[pi][:, None]))
+    vel_j = (vel["vel"][pj][:, None] + jnp.cross(
+        vel["omega"][pj][:, None], wj - xpos[pj][:, None]))
+    vrel = vel_i[:, :, None, :] - vel_j[:, None, :, :]
+    vn = jnp.sum(vrel * n, -1)
+    fn = jnp.maximum(k * depth - d * vn, 0.0) * act      # (P, SC, SC)
+    Fp = fn[..., None] * n                               # on body i; -F on j
+    pt = 0.5 * (wi[:, :, None, :] + wj[:, None, :, :])
+
+    Fi = jnp.sum(Fp, axis=(1, 2))                        # (P, 3)
+    Ti = jnp.sum(jnp.cross(pt - xipos[pi][:, None, None], Fp), axis=(1, 2))
+    Tj = jnp.sum(jnp.cross(pt - xipos[pj][:, None, None], -Fp), axis=(1, 2))
+
+    # scatter per-pair wrenches to bodies with static one-hot matmuls
+    Oi = jnp.asarray(np.eye(nb, dtype=np.float32)[pi])   # (P, nb)
+    Oj = jnp.asarray(np.eye(nb, dtype=np.float32)[pj])
+    F = Oi.T @ Fi - Oj.T @ Fi
+    T = Oi.T @ Ti + Oj.T @ Tj
+    return F, T
+
+
 def limit_qfrc(model: Model, qpos, qvel, k: float = 500.0, d: float = 20.0):
     """Joint-range penalty (MuJoCo limited=true hinge ranges).
 
@@ -424,7 +485,8 @@ def vf_contact_gate(model: Model, kin, mode: str):
 
 
 def assemble(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
-             qfrc_applied, vf_body=None, vf_gate=None):
+             qfrc_applied, vf_body=None, vf_gate=None,
+             self_collision: bool = False):
     """Phase 1 of a substep: everything except the linear solves.
 
     Returns a dict with the two SPD system matrices (A_pd for stable-PD,
@@ -440,6 +502,11 @@ def assemble(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
     C = bias_force(model, vel, Jlin, Jang, Rtot)
 
     qfrc_con, W = contact_qfrc(topo, model, kin, vel, Jlin, Jang)
+    if self_collision:
+        Fsc, Tsc = self_collision_terms(topo, model, kin, vel)
+        qfrc_con = qfrc_con + (
+            jnp.einsum("naj,na->j", Jlin, Fsc, precision=HI)
+            + jnp.einsum("naj,na->j", Jang, Tsc, precision=HI))
     qfrc_lim, lim_damp = limit_qfrc(model, qpos, qvel)
 
     nv = topo.nv
@@ -481,7 +548,8 @@ def pd_torque_from_accel(model: Model, qvel, qpos_err, kp, kd, qacc_des):
 
 
 def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
-            qfrc_applied, vf_body=None, vf_gate=None):
+            qfrc_applied, vf_body=None, vf_gate=None,
+            self_collision: bool = False):
     """One 450 Hz physics substep with stable-PD actuation.
 
     `qfrc_applied` is the residual-force wrench already mapped to generalized
@@ -498,7 +566,7 @@ def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
     from uhc_tpu.physics import linalg as LA
 
     out = assemble(topo, model, qpos, qvel, target_pos, kp, kd,
-                   qfrc_applied, vf_body, vf_gate)
+                   qfrc_applied, vf_body, vf_gate, self_collision)
     LL = LA.blocked_cholesky(jnp.stack([out["A_pd"], out["A_fd"]]))
     qacc_des = LA.blocked_cho_solve(
         jax.tree.map(lambda x: x[0], LL), out["pd_rhs"])

@@ -116,6 +116,10 @@ class Model:
     # body so all reductions are reshape-sums (no scatter on TPU)
     contact_point: Any  # (nb, K, 3) candidate points, body frame
     contact_mask: Any   # (nb, K) 1.0 for real points, 0.0 padding
+    # self-collision proxies: SC spheres per body along the bone axis
+    # (sphere-chain approximation of the body hull for body-body contacts)
+    sc_point: Any       # (nb, SC, 3) sphere centers, body frame
+    sc_radius: Any      # (nb,) sphere radius per body
     # scalars (0-d arrays so the pytree stays uniform)
     friction: Any        # tangential friction coefficient
     contact_stiffness: Any
@@ -137,6 +141,7 @@ MODEL_BASE_NDIM = {
     "body_pos": 2, "body_ipos": 2, "body_mass": 1, "body_inertia": 2,
     "body_iquat": 2, "armature": 1, "jkp": 1, "jkd": 1, "torque_lim": 1,
     "a_scale": 1, "jnt_range": 2, "contact_point": 3, "contact_mask": 2,
+    "sc_point": 3, "sc_radius": 1,
     "friction": 0, "contact_stiffness": 0, "contact_damping": 0,
     "contact_depth_cap": 0, "contact_vreg": 0, "gravity": 1, "dt": 0,
 }

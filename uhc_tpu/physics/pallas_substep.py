@@ -101,59 +101,85 @@ def _dotg(A, B, ta=False, tb=False):
 
 
 def _mv(A, x):
-    """(E, n, n) @ (E, n) -> (E, n)."""
-    return jax.lax.dot_general(
-        A, x, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+    """(E, n, n) @ (E, n) -> (E, n). Mosaic needs non-empty non-contracting
+    dims on both operands, so the vector carries a unit column."""
+    out = jax.lax.dot_general(
+        A, x[..., None], dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=F32,
         precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(x.shape)
+
+
+# Mosaic cannot lower scatter (int-indexed .at[].set) or the gathers that
+# jnp emits for int indexing mixed with None/ellipsis — all row/column
+# reads and writes below go through iota masks + reductions.
+def _lane1():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
+
+
+def _row2():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, BS, BS), 1)
+
+
+def _col2():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, BS, BS), 2)
+
+
+def _row_sel(M, j):
+    """(E, BS, BS) -> row j as (E, BS)."""
+    return jnp.sum(jnp.where(_row2() == j, M, 0.0), axis=-2)
+
+
+def _col_sel(M, j):
+    """(E, BS, BS) -> column j as (E, BS)."""
+    return jnp.sum(jnp.where(_col2() == j, M, 0.0), axis=-1)
+
+
+def _lane_sel(v, j):
+    """(E, BS) -> element j as (E, 1)."""
+    return jnp.sum(jnp.where(_lane1() == j, v, 0.0), axis=-1, keepdims=True)
 
 
 def _chol_block(D):
-    """Unrolled Cholesky of (E, BS, BS) SPD blocks (linalg._chol_block).
-
-    Row/column updates use iota masks + where — int-indexed `.at[].set`
-    lowers to `scatter`, which Mosaic does not implement."""
-    col_id = jax.lax.broadcasted_iota(jnp.int32, (1, BS, BS), 2)
+    """Unrolled Cholesky of (E, BS, BS) SPD blocks (linalg._chol_block)."""
     L = jnp.zeros_like(D)
     for j in range(BS):
         if j == 0:
-            s = D[..., :, 0]
+            s = _col_sel(D, 0)
         else:
-            s = D[..., :, j] - jax.lax.dot_general(
-                L[..., :, :j], L[..., j, :j],
+            rowj = _row_sel(L, j)                        # (E, BS)
+            upd = jax.lax.dot_general(
+                L[..., :, :j], rowj[..., :j, None],
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=F32,
                 precision=jax.lax.Precision.HIGHEST)
-        d = jnp.sqrt(jnp.maximum(s[..., j], 1e-12))
-        col = s / d[..., None]
-        rmask = (jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1) >= j
-                 ).astype(D.dtype)
-        L = jnp.where(col_id == j, (col * rmask)[..., :, None], L)
+            s = _col_sel(D, j) - upd.reshape(upd.shape[:-1])
+        d = jnp.sqrt(jnp.maximum(_lane_sel(s, j), 1e-12))  # (E, 1)
+        col = s / d
+        rmask = (_lane1() >= j).astype(D.dtype)
+        L = jnp.where(_col2() == j, (col * rmask)[..., :, None], L)
     return L
 
 
 def _tri_inv_lower(L):
-    """Inverse of lower-triangular (E, BS, BS) blocks (mask-based updates,
-    see _chol_block)."""
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (1, BS, BS), 1)
+    """Inverse of lower-triangular (E, BS, BS) blocks."""
     X = jnp.zeros_like(L)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 0)
-    diag = jnp.sum(jnp.where(idx == jax.lax.broadcasted_iota(
-        jnp.int32, (BS, BS), 1), L, 0.0), axis=-1)       # (E, BS)
+    diag = jnp.sum(jnp.where(_row2() == _col2(), L, 0.0), axis=-1)     # (E, BS)
     inv_diag = 1.0 / diag
     for i in range(BS):
         if i == 0:
             row = jnp.zeros(L.shape[:-2] + (BS,), L.dtype)
         else:
-            row = jax.lax.dot_general(
-                L[..., i, :i], X[..., :i, :],
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            rowi = _row_sel(L, i)
+            row3 = jax.lax.dot_general(
+                rowi[..., None, :i], X[..., :i, :],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=F32,
                 precision=jax.lax.Precision.HIGHEST)
-        e_i = (jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1) == i
-               ).astype(L.dtype)
-        new_row = (e_i - row) * inv_diag[..., i, None]
-        X = jnp.where(row_id == i, new_row[..., None, :], X)
+            row = row3.reshape(row3.shape[0], row3.shape[2])
+        e_i = (_lane1() == i).astype(L.dtype)
+        new_row = (e_i - row) * _lane_sel(inv_diag, i)
+        X = jnp.where(_row2() == i, new_row[..., None, :], X)
     return X
 
 
@@ -233,6 +259,9 @@ def make_fused_do_simulation(topo: Topology, cfg, model: Model,
         raise ValueError("fused path supports implicit RFC only")
     if cfg.meta_pd_joint:
         raise ValueError("fused path does not support meta_pd_joint")
+    if getattr(cfg, "self_collision", False):
+        raise ValueError("fused path does not support self_collision yet "
+                         "(use the XLA solver path)")
 
     from uhc_tpu.envs import humanoid_im as H
 

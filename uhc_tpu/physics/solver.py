@@ -170,7 +170,8 @@ def make_do_simulation(topo: Topology, cfg, pcg_iters: int = 5):
                 vf_gate = ("ground" if cfg.residual_contact_only_ground
                            else "height")
             out = E.assemble(topo, model, qp, qv, target_pos, kp, kd,
-                             qfrc_applied, vf_body, vf_gate)
+                             qfrc_applied, vf_body, vf_gate,
+                             cfg.self_collision)
             out["kp"], out["kd"] = kp, kd
             return out
 

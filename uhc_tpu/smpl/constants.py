@@ -53,6 +53,39 @@ def ee_indices(topo) -> np.ndarray:
 def head_index(topo) -> int:
     return list(topo.body_names).index("Head")
 
+
+# Self-collision pairs. MuJoCo collides every non-excluded geom pair of the
+# single contype/conaffinity group (smpl_parser.py:315-329); the pairs below
+# are the ones that actually matter for imitation quality (crossed legs,
+# arms through torso/head, hand-hand) — the curated "selected self-collision
+# pairs" of SURVEY.md §7.3. Adjacent / rest-overlapping pairs are excluded
+# exactly like the reference skeleton's contact excludes
+# (khrylib/mocap/skeleton_mesh.py:165-218).
+SELF_COLLISION_PAIR_NAMES = [
+    ("L_Knee", "R_Knee"), ("L_Knee", "R_Ankle"), ("R_Knee", "L_Ankle"),
+    ("L_Ankle", "R_Ankle"), ("L_Toe", "R_Toe"),
+    ("L_Ankle", "R_Toe"), ("R_Ankle", "L_Toe"),
+    ("L_Knee", "R_Hip"), ("R_Knee", "L_Hip"),
+    ("L_Wrist", "Torso"), ("L_Wrist", "Spine"), ("L_Wrist", "Chest"),
+    ("L_Wrist", "L_Hip"), ("L_Wrist", "R_Hip"), ("L_Wrist", "Head"),
+    ("R_Wrist", "Torso"), ("R_Wrist", "Spine"), ("R_Wrist", "Chest"),
+    ("R_Wrist", "L_Hip"), ("R_Wrist", "R_Hip"), ("R_Wrist", "Head"),
+    ("L_Elbow", "Torso"), ("L_Elbow", "Spine"), ("L_Elbow", "Chest"),
+    ("R_Elbow", "Torso"), ("R_Elbow", "Spine"), ("R_Elbow", "Chest"),
+    ("L_Wrist", "R_Wrist"), ("L_Elbow", "R_Elbow"),
+    ("L_Hand", "R_Hand"), ("L_Hand", "Torso"), ("R_Hand", "Torso"),
+]
+
+
+def self_collision_pairs(topo) -> np.ndarray:
+    """(P, 2) int32 body-index pairs, keeping only names present in the
+    topology (works for SMPL-24, SMPL-H-52, masterfoot trees)."""
+    names = list(topo.body_names)
+    pairs = [(names.index(a), names.index(b))
+             for a, b in SELF_COLLISION_PAIR_NAMES
+             if a in names and b in names]
+    return np.asarray(pairs, np.int32).reshape(-1, 2)
+
 NUM_BODIES = len(MUJOCO_BODY_ORDER)      # 24
 NQ = 3 + 4 + (NUM_BODIES - 1) * 3        # 76
 NV = 6 + (NUM_BODIES - 1) * 3            # 75

@@ -100,6 +100,9 @@ def masterfoot_model(topo: Topology, model: Model,
     body_iquat = np.tile([1.0, 0, 0, 0], (nb, 1)).astype(np.float32)
     cpoints = np.zeros((nb, K, 3), np.float32)
     cmask = np.zeros((nb, K), np.float32)
+    SC = np.asarray(model.sc_point).shape[1]
+    sc_point = np.zeros((nb, SC, 3), np.float32)
+    sc_radius = np.zeros(nb, np.float32)
 
     for i, name in enumerate(new_topo.body_names):
         if name in names:
@@ -111,6 +114,8 @@ def masterfoot_model(topo: Topology, model: Model,
             body_iquat[i] = np.asarray(model.body_iquat)[j]
             cpoints[i, :cp_old.shape[1]] = cp_old[j]
             cmask[i, :cm_old.shape[1]] = cm_old[j]
+            sc_point[i] = np.asarray(model.sc_point)[j]
+            sc_radius[i] = np.asarray(model.sc_radius)[j]
             continue
         # masterfoot capsule body (zero offset from its ankle)
         side = name[0]
@@ -143,6 +148,8 @@ def masterfoot_model(topo: Topology, model: Model,
         cpoints[i, 1] = center - drop
         cpoints[i, 2] = end - drop
         cmask[i, :3] = 1.0
+        sc_point[i] = np.linspace(0.0, 1.0, SC)[:, None] * (end - start) + start
+        sc_radius[i] = _CAP_R
 
     armature = np.zeros(new_topo.nv, np.float32)
     armature[6:] = 0.01
@@ -165,7 +172,8 @@ def masterfoot_model(topo: Topology, model: Model,
         jkd=conv.get_new_jkd().astype(np.float32),
         torque_lim=conv.get_new_torque_limit().astype(np.float32),
         a_scale=conv.get_new_a_scale().astype(np.float32),
-        jnt_range=jnt_range, contact_point=cpoints, contact_mask=cmask)
+        jnt_range=jnt_range, contact_point=cpoints, contact_mask=cmask,
+        sc_point=sc_point, sc_radius=sc_radius)
     return new_topo, new_model, conv
 
 

@@ -126,6 +126,33 @@ def load_mjcf_humanoid(
 
     topo = Topology(nbody=nbody, parents=tuple(parents), body_names=tuple(names))
 
+    # self-collision sphere chains: SC spheres along each body's bone axis
+    # (toward its first child; leaves use 2x the COM offset), radius = mean
+    # perpendicular hull-vertex distance to the axis
+    SC = 3
+    fracs = np.array([0.25, 0.55, 0.85])
+    sc_point = np.zeros((nbody, SC, 3))
+    sc_radius = np.zeros(nbody)
+    first_child = {}
+    for i in range(1, nbody):
+        first_child.setdefault(parents[i], i)
+    for i in range(nbody):
+        c = first_child.get(i)
+        bone = (body_pos[c] if c is not None else 2.0 * body_ipos[i])
+        blen = np.linalg.norm(bone)
+        axis = bone / max(blen, 1e-6)
+        sc_point[i] = fracs[:, None] * bone[None, :]
+        mname = mesh_of[i]
+        if mname is not None and mname in mesh_files:
+            verts = np.unique(
+                meshlib.load_stl(mesh_files[mname]).reshape(-1, 3), axis=0)
+            v = verts - (gpos[i] if is_global else 0.0)
+            perp = v - np.outer(v @ axis, axis)
+            sc_radius[i] = np.clip(
+                np.mean(np.linalg.norm(perp, axis=1)), 0.02, 0.45 * max(blen, 0.05))
+        else:
+            sc_radius[i] = 0.03
+
     armature = np.zeros(topo.nv)
     armature[6:] = armature_hinge
     jnt_range = np.concatenate([r for r in jranges if r is not None], axis=0)
@@ -150,6 +177,8 @@ def load_mjcf_humanoid(
         jnt_range=jnt_range.astype(np.float32),
         contact_point=cpoints.astype(np.float32),
         contact_mask=cmask.astype(np.float32),
+        sc_point=sc_point.astype(np.float32),
+        sc_radius=sc_radius.astype(np.float32),
         friction=np.float32(friction),
         contact_stiffness=np.float32(contact_stiffness),
         contact_damping=np.float32(contact_damping),

@@ -64,6 +64,8 @@ def model_from_betas(topo: Topology, base_model: Model, data: SMPLData,
         body_mass=base_model.body_mass * s**3,
         body_inertia=base_model.body_inertia * s[:, None]**5,
         contact_point=base_model.contact_point * s[:, None, None],
+        sc_point=base_model.sc_point * s[:, None, None],
+        sc_radius=base_model.sc_radius * s,
     )
 
 

@@ -131,6 +131,9 @@ def smplh_model(topo24: Topology, base_model: Model,
     body_iquat = np.tile([1.0, 0, 0, 0], (nb, 1)).astype(np.float32)
     cpoints = np.zeros((nb, K, 3), np.float32)
     cmask = np.zeros((nb, K), np.float32)
+    SC = np.asarray(base_model.sc_point).shape[1]
+    sc_point = np.zeros((nb, SC, 3), np.float32)
+    sc_radius = np.zeros(nb, np.float32)
 
     for i, name in enumerate(topo.body_names):
         if name in names24:
@@ -142,6 +145,8 @@ def smplh_model(topo24: Topology, base_model: Model,
             body_iquat[i] = np.asarray(base_model.body_iquat)[j]
             cpoints[i] = np.asarray(base_model.contact_point)[j]
             cmask[i] = np.asarray(base_model.contact_mask)[j]
+            sc_point[i] = np.asarray(base_model.sc_point)[j]
+            sc_radius[i] = np.asarray(base_model.sc_radius)[j]
         else:  # finger segment
             off = np.asarray(finger_offsets[name], np.float32)
             body_pos[i] = off
@@ -152,6 +157,9 @@ def smplh_model(topo24: Topology, base_model: Model,
             # contact point at the segment tip (approx. next offset)
             cpoints[i, 0] = off / max(np.linalg.norm(off), 1e-6) * seg
             cmask[i, 0] = 1.0
+            sc_point[i] = (np.linspace(0.2, 0.9, SC)[:, None]
+                           * off[None, :])
+            sc_radius[i] = 0.008
 
     # wrists lose the old hand mass? No: the reference re-derives all masses
     # from per-joint vertex hulls; here the hand's 24-model mass is split
@@ -195,7 +203,8 @@ def smplh_model(topo24: Topology, base_model: Model,
         jkp=np.asarray(jkp, np.float32), jkd=np.asarray(jkd, np.float32),
         torque_lim=np.asarray(tq, np.float32),
         a_scale=np.asarray(a_scale, np.float32),
-        jnt_range=jnt_range, contact_point=cpoints, contact_mask=cmask)
+        jnt_range=jnt_range, contact_point=cpoints, contact_mask=cmask,
+        sc_point=sc_point, sc_radius=sc_radius)
 
 
 def smplh_to_qpose(pose_aa, root_offset, trans=None, count_offset=True):

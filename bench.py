@@ -22,6 +22,15 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compilation cache: the fused Pallas control-step kernel takes
+# ~80 s to compile once; repeat runs hit the cache
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     from uhc_tpu.config.config import EnvConfig
@@ -55,9 +64,11 @@ def main():
     ndof, vf, meta = H.action_dims(topo, cfg)
     actions = jnp.zeros((B, ndof + vf + meta))
 
+    use_fused = os.environ.get("BENCH_FUSED", "1") == "1"
     step = H.make_env_step_batched(
         topo, cfg, use_fast_solver=os.environ.get("BENCH_EXACT", "0") != "1",
-        pcg_iters=int(os.environ.get("BENCH_PCG", 5)))
+        pcg_iters=int(os.environ.get("BENCH_PCG", 3 if use_fused else 5)),
+        fused_model=model if use_fused else None)
 
     @jax.jit
     def run(states):

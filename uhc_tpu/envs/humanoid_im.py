@@ -704,18 +704,46 @@ def env_step(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
                          jpos_diffw, body_diffw, train)
 
 
+def fused_compatible(cfg: EnvConfig) -> bool:
+    """Whether the fused Pallas control-step kernel covers this config
+    (physics.pallas_substep; implicit/no RFC, no per-joint meta-PD, no
+    self-collision)."""
+    return ((not cfg.residual_force
+             or cfg.residual_force_mode == "implicit")
+            and not cfg.meta_pd_joint and not cfg.self_collision)
+
+
 def make_env_step_batched(topo: Topology, cfg: EnvConfig,
-                          use_fast_solver: bool = True, pcg_iters: int = 5):
+                          use_fast_solver: bool = True, pcg_iters: int = 5,
+                          fused_model: Model = None):
     """Batch-level control step: the physics substep chain runs at batch
     level (enabling the maintained-inverse solver,
     uhc_tpu.physics.solver.make_do_simulation); obs/reward/termination are
-    vmapped per env."""
-    if use_fast_solver:
+    vmapped per env.
+
+    Pass `fused_model` (the static Model the episode will simulate) to run
+    the substep chain through the fused Pallas control-step kernel
+    (physics.pallas_substep) when the config allows it — the kernel bakes
+    the model, so it must equal the model passed at step time."""
+    if fused_model is not None and fused_compatible(cfg):
+        from uhc_tpu.physics.model import model_is_batched
+        if not model_is_batched(fused_model):
+            from uhc_tpu.physics.pallas_substep import \
+                make_fused_do_simulation
+
+            fast_sim = make_fused_do_simulation(topo, cfg, fused_model,
+                                                pcg_iters=pcg_iters)
+            fast_sim_takes_model = False
+        else:
+            fused_model = None
+    if fused_model is None and use_fast_solver:
         from uhc_tpu.physics.solver import make_do_simulation
 
         fast_sim = make_do_simulation(topo, cfg, pcg_iters)
-    else:
+        fast_sim_takes_model = True
+    elif fused_model is None:
         fast_sim = None
+        fast_sim_takes_model = True
 
     def step(model: Model, states: EnvState, actions, expert_lib,
              jpos_diffw, body_diffw, rfc_rate=1.0, train: bool = True):
@@ -736,7 +764,10 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
         tgt = jax.vmap(lambda s: expert_at(
             expert_lib, s.seq_idx, s.start_ind + s.cur_t + 1))(states)
         target_base = tgt["qpos"][:, 7:]
-        if fast_sim is not None:
+        if fast_sim is not None and not fast_sim_takes_model:
+            qpos, qvel = fast_sim(states.qpos, states.qvel, actions,
+                                  target_base, rfc_rate)
+        elif fast_sim is not None:
             qpos, qvel = fast_sim(m, states.qpos, states.qvel, actions,
                                   target_base, rfc_rate)
         else:

@@ -104,7 +104,8 @@ def _mv(A, x):
     """(E, n, n) @ (E, n) -> (E, n). Mosaic needs non-empty non-contracting
     dims on both operands, so the vector carries a unit column."""
     out = jax.lax.dot_general(
-        A, x[..., None], dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        A, jnp.expand_dims(x, -1),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=F32,
         precision=jax.lax.Precision.HIGHEST)
     return out.reshape(x.shape)
@@ -147,9 +148,9 @@ def _chol_block(D):
         if j == 0:
             s = _col_sel(D, 0)
         else:
-            rowj = _row_sel(L, j)                        # (E, BS)
+            rowj = jnp.expand_dims(_row_sel(L, j)[:, :j], -1)  # (E, j, 1)
             upd = jax.lax.dot_general(
-                L[..., :, :j], rowj[..., :j, None],
+                L[..., :, :j], rowj,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=F32,
                 precision=jax.lax.Precision.HIGHEST)
@@ -157,7 +158,7 @@ def _chol_block(D):
         d = jnp.sqrt(jnp.maximum(_lane_sel(s, j), 1e-12))  # (E, 1)
         col = s / d
         rmask = (_lane1() >= j).astype(D.dtype)
-        L = jnp.where(_col2() == j, (col * rmask)[..., :, None], L)
+        L = jnp.where(_col2() == j, jnp.expand_dims(col * rmask, -1), L)
     return L
 
 
@@ -170,51 +171,65 @@ def _tri_inv_lower(L):
         if i == 0:
             row = jnp.zeros(L.shape[:-2] + (BS,), L.dtype)
         else:
-            rowi = _row_sel(L, i)
+            rowi = jnp.expand_dims(_row_sel(L, i)[:, :i], 1)  # (E, 1, i)
             row3 = jax.lax.dot_general(
-                rowi[..., None, :i], X[..., :i, :],
+                rowi, X[..., :i, :],
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=F32,
                 precision=jax.lax.Precision.HIGHEST)
             row = row3.reshape(row3.shape[0], row3.shape[2])
         e_i = (_lane1() == i).astype(L.dtype)
         new_row = (e_i - row) * _lane_sel(inv_diag, i)
-        X = jnp.where(_row2() == i, new_row[..., None, :], X)
+        X = jnp.where(_row2() == i, jnp.expand_dims(new_row, -2), X)
     return X
 
 
 def _chol_inverse(A, NP):
-    """(E, NP, NP) SPD -> exact inverse via blocked Cholesky, all in VMEM."""
+    """(E, NP, NP) SPD -> exact inverse via blocked Cholesky, all in VMEM.
+
+    Mosaic lowers neither scatter nor dynamic_update_slice on values, so
+    the factorization works on a python grid of (E, BS, BS) blocks (reads
+    are plain slices, writes are list rebinds) and the result is assembled
+    with concatenates."""
     nbk = NP // BS
-    S = A
-    Lkk_inv = [None] * nbk
-    Lfull = jnp.zeros_like(A)
+
+    def blk(M, i, j):
+        return M[:, i * BS:(i + 1) * BS, j * BS:(j + 1) * BS]
+
+    S = [[blk(A, i, j) for j in range(nbk)] for i in range(nbk)]
+    L = [[None] * nbk for _ in range(nbk)]
+    Ld_inv = [None] * nbk
     for k in range(nbk):
-        a, b = k * BS, (k + 1) * BS
-        Dkk = S[:, a:b, a:b]
-        Lkk = _chol_block(Dkk)
-        Lkk_inv[k] = _tri_inv_lower(Lkk)
-        Lfull = Lfull.at[:, a:b, a:b].set(Lkk)
-        if k + 1 < nbk:
-            Pn = _dotg(S[:, b:, a:b], Lkk_inv[k], tb=True)  # (E, rest, BS)
-            Lfull = Lfull.at[:, b:, a:b].set(Pn)
-            # (.at[].add lowers to scatter-add, which Mosaic rejects; use
-            # read-modify-set, which lowers to dynamic_update_slice)
-            S = S.at[:, b:, b:].set(S[:, b:, b:] - _dotg(Pn, Pn, tb=True))
-    # full lower-triangular inverse, blocked forward substitution
-    Linv = jnp.zeros_like(A)
+        Lkk = _chol_block(S[k][k])
+        Ld_inv[k] = _tri_inv_lower(Lkk)
+        L[k][k] = Lkk
+        for i in range(k + 1, nbk):
+            L[i][k] = _dotg(S[i][k], Ld_inv[k], tb=True)
+        for i in range(k + 1, nbk):
+            for j in range(k + 1, i + 1):
+                S[i][j] = S[i][j] - _dotg(L[i][k], L[j][k], tb=True)
+    # blocked lower-triangular inverse
+    Linv = [[None] * nbk for _ in range(nbk)]
     for i in range(nbk):
-        ia, ib = i * BS, (i + 1) * BS
-        Linv = Linv.at[:, ia:ib, ia:ib].set(Lkk_inv[i])
-        for j in range(i):
-            ja, jb = j * BS, (j + 1) * BS
+        Linv[i][i] = Ld_inv[i]
+        for j in range(i - 1, -1, -1):
             acc = None
             for k in range(j, i):
-                ka, kb = k * BS, (k + 1) * BS
-                t = _dotg(Lfull[:, ia:ib, ka:kb], Linv[:, ka:kb, ja:jb])
+                t = _dotg(L[i][k], Linv[k][j])
                 acc = t if acc is None else acc + t
-            Linv = Linv.at[:, ia:ib, ja:jb].set(-_dotg(Lkk_inv[i], acc))
-    return _dotg(Linv, Linv, ta=True)  # A^-1 = Linv^T Linv
+            Linv[i][j] = -_dotg(Ld_inv[i], acc)
+    # X = Linv^T Linv blockwise: X[i][j] = sum_{k >= max(i,j)} Linv[k][i]^T Linv[k][j]
+    rows = []
+    for i in range(nbk):
+        row = []
+        for j in range(nbk):
+            acc = None
+            for k in range(max(i, j), nbk):
+                t = _dotg(Linv[k][i], Linv[k][j], ta=True)
+                acc = t if acc is None else acc + t
+            row.append(acc)
+        rows.append(jnp.concatenate(row, axis=2))
+    return jnp.concatenate(rows, axis=1)
 
 
 def _pcg(A, b, X, iters):
@@ -745,8 +760,13 @@ def make_fused_do_simulation(topo: Topology, cfg, model: Model,
 
         def loop_body(it, carry):
             st, Xp, Xf = carry
-            ks = jax.lax.dynamic_slice_in_dim(kps, it, 1, axis=1)
-            ds = jax.lax.dynamic_slice_in_dim(kds, it, 1, axis=1)
+            # masked lane select (Mosaic lowers neither dynamic_slice nor
+            # gather on values)
+            lane_fs = jax.lax.broadcasted_iota(jnp.int32, (1, FSP), 1)
+            ks = jnp.sum(jnp.where(lane_fs == it, kps, 0.0), axis=1,
+                         keepdims=True)
+            ds = jnp.sum(jnp.where(lane_fs == it, kds, 0.0), axis=1,
+                         keepdims=True)
             st, Xp, Xf = one_substep(st, Xp, Xf, ks, ds, False)
             return (st, Xp, Xf)
 

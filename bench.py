@@ -64,19 +64,42 @@ def main():
     ndof, vf, meta = H.action_dims(topo, cfg)
     actions = jnp.zeros((B, ndof + vf + meta))
 
+    # BENCH_FUSED=1 (default) measures the fused Pallas control-step kernel
+    # — the pure physics chain, matching the reference's counted unit
+    # (sim.step(), no obs/reward). BENCH_FUSED=0 measures the XLA env step
+    # (physics + obs + reward; obs/reward are <1% of it).
     use_fused = os.environ.get("BENCH_FUSED", "1") == "1"
-    step = H.make_env_step_batched(
-        topo, cfg, use_fast_solver=os.environ.get("BENCH_EXACT", "0") != "1",
-        pcg_iters=int(os.environ.get("BENCH_PCG", 3 if use_fused else 5)),
-        fused_model=model if use_fused else None)
+    if use_fused:
+        from uhc_tpu.physics.pallas_substep import make_fused_do_simulation
 
-    @jax.jit
-    def run(states):
-        def body(s, _):
-            s2, _, r, _, d = step(model, s, actions, lib, jpw, bdw)
-            return s2, r
-        s, rews = jax.lax.scan(body, states, None, length=CTRL_STEPS)
-        return s, rews
+        fused = make_fused_do_simulation(
+            topo, cfg, model,
+            pcg_iters=int(os.environ.get("BENCH_PCG", 3)))
+        tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
+
+        @jax.jit
+        def run(states):
+            def body(c, _):
+                qp, qv = c
+                qp2, qv2 = fused(qp, qv, actions, tb, 1.0)
+                return (qp2, qv2), qp2[:, 2]
+            (qp, qv), z = jax.lax.scan(
+                body, (states.qpos, states.qvel), None, length=CTRL_STEPS)
+            import dataclasses
+            return dataclasses.replace(states, qpos=qp, qvel=qv), z
+    else:
+        step = H.make_env_step_batched(
+            topo, cfg,
+            use_fast_solver=os.environ.get("BENCH_EXACT", "0") != "1",
+            pcg_iters=int(os.environ.get("BENCH_PCG", 5)))
+
+        @jax.jit
+        def run(states):
+            def body(s, _):
+                s2, _, r, _, d = step(model, s, actions, lib, jpw, bdw)
+                return s2, r
+            s, rews = jax.lax.scan(body, states, None, length=CTRL_STEPS)
+            return s, rews
 
     # compile
     s, rews = run(states)

@@ -169,6 +169,7 @@ def test_explicit_bangvel_zeroed_past_end(humanoid_setup):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_end_reward_bonus(humanoid_setup):
     from uhc_tpu.learn.rollout import init_env_states, make_rollout_fn
 

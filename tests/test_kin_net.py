@@ -64,6 +64,7 @@ def test_rollout_and_loss(setup):
                                np.asarray(gt_qpos[1:]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grad_flows(setup):
     """One supervised gradient is finite and nonzero (the KinNet training
     signal, agent_uhm.py full_update path)."""
@@ -83,6 +84,7 @@ def test_grad_flows(setup):
     assert any(float(jnp.max(jnp.abs(x))) > 0 for x in leaves)
 
 
+@pytest.mark.slow
 def test_uhm_agent_supervised_smoke():
     """UHMAgent full_update (supervised KinNet training) runs and returns a
     finite decreasing-capable loss on tiny shapes."""

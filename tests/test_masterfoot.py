@@ -71,6 +71,7 @@ def test_converter_roundtrip(mf):
     assert np.all(np.asarray(qpos48[:, s:s + 3]) == 0.0)
 
 
+@pytest.mark.slow
 def test_masterfoot_env_step(mf):
     topo24, model24, topo, model, conv = mf
     import joblib

@@ -134,13 +134,13 @@ def context_at(context_lib: Dict[str, Any], seq_idx, t):
 
 def head_pose_of(context_lib, seq_idx, t):
     """(7,) head pos+quat of the GT context at frame t (ar_context
-    head_pose)."""
-    from uhc_tpu.envs.expert import HEAD_BODY_IDX
+    head_pose). Kin-stack contexts are SMPL-24 (HEAD_INDEX = 13)."""
+    from uhc_tpu.smpl.constants import HEAD_INDEX as hidx
 
     frame = H.expert_at(context_lib, seq_idx, t)
     wbpos = frame["wbpos"].reshape(-1, 3)
     wbquat = frame["wbquat"].reshape(-1, 4)
-    return jnp.concatenate([wbpos[HEAD_BODY_IDX], wbquat[HEAD_BODY_IDX]])
+    return jnp.concatenate([wbpos[hidx], wbquat[hidx]])
 
 
 def get_ar_obs_v1(topo: Topology, model: Model, cc_cfg: EnvConfig,
@@ -223,13 +223,14 @@ def kin_env_step(topo: Topology, model: Model, kin_cfg: KinConfig,
                  rfc_rate=1.0, train: bool = True):
     """One 30 Hz hierarchical step (humanoid_kin_v1.py:297). Returns
     (state', obs, reward, reward_terms, done)."""
-    from uhc_tpu.envs.expert import HEAD_BODY_IDX
+    from uhc_tpu.smpl.constants import head_index
+    hidx = head_index(topo)
     from uhc_tpu.rewards.uhm_rewards import get_uhm_reward_fn
 
     prev_qpos, prev_bquat = state.qpos, H.get_body_quat(state.qpos)
     kin0 = E.fk(topo, model, state.qpos)
-    prev_hpos = jnp.concatenate([kin0["xpos"][HEAD_BODY_IDX],
-                                 kin0["xquat"][HEAD_BODY_IDX]])
+    prev_hpos = jnp.concatenate([kin0["xpos"][hidx],
+                                 kin0["xquat"][hidx]])
 
     next_qpos = step_ar(kin_cfg, state.qpos, kin_action)
     target = qpos_fk_frame(topo, model, next_qpos)
@@ -279,10 +280,11 @@ def kin_env_reset(topo: Topology, model: Model, kin_cfg: KinConfig, rng,
     init_qpos = frame0["ar_qpos"] if not use_gt_init else frame0["qpos"]
     init_qvel = frame0["qvel"]
     kin = E.fk(topo, model, init_qpos)
-    from uhc_tpu.envs.expert import HEAD_BODY_IDX
+    from uhc_tpu.smpl.constants import head_index
+    hidx = head_index(topo)
 
-    hpos = jnp.concatenate([kin["xpos"][HEAD_BODY_IDX],
-                            kin["xquat"][HEAD_BODY_IDX]])
+    hpos = jnp.concatenate([kin["xpos"][hidx],
+                            kin["xquat"][hidx]])
     return KinEnvState(
         qpos=init_qpos, qvel=init_qvel, prev_qpos=init_qpos,
         prev_bquat=H.get_body_quat(init_qpos), prev_hpos=hpos,

@@ -18,7 +18,8 @@ from typing import Dict
 import jax.numpy as jnp
 
 from uhc_tpu.envs import humanoid_im as H
-from uhc_tpu.envs.expert import HEAD_BODY_IDX, qpos_fk_frame
+from uhc_tpu.envs.expert import qpos_fk_frame
+from uhc_tpu.smpl.constants import head_index
 from uhc_tpu.envs.humanoid_kin import context_at, head_pose_of
 from uhc_tpu.maths import angvel_fd, multi_quat_diff, multi_quat_norm_v2
 from uhc_tpu.physics import engine as E
@@ -28,8 +29,8 @@ def _cur_feats(topo, model, state):
     kin = E.fk(topo, model, state.qpos)
     cur_bquat = H.get_body_quat(state.qpos)
     cur_wbpos = kin["xpos"]
-    cur_hpos = jnp.concatenate([kin["xpos"][HEAD_BODY_IDX],
-                                kin["xquat"][HEAD_BODY_IDX]])
+    hi = head_index(topo)
+    cur_hpos = jnp.concatenate([kin["xpos"][hi], kin["xquat"][hi]])
     return cur_bquat, cur_wbpos, cur_hpos
 
 

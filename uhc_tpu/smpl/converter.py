@@ -109,13 +109,21 @@ class SMPLConverter:
         self._qpos_fwd = fwd(sq, nq_a, new_topo.nq)
         self._qvel_fwd = fwd(sv, nv_a, new_topo.nv)
 
-        # new -> smpl: subset of new indices in smpl joint order
-        self._qpos_bwd = np.concatenate(
-            [np.arange(*nq_a[j]) for j in self.smpl_joint_names])
-        self._qvel_bwd = np.concatenate(
-            [np.arange(*nv_a[j]) for j in self.smpl_joint_names])
+        # new -> smpl: new indices in smpl joint order; smpl joints absent
+        # from a REDUCED tree (e.g. remove_toe) map to -1 -> zero-filled
+        self._qpos_bwd = np.concatenate([
+            np.arange(*nq_a[self.smpl_joint_names[0]])
+            if self.smpl_joint_names[0] in nq_a else np.full(7, -1)] + [
+            (np.arange(*nq_a[j]) if j in nq_a else np.full(3, -1, np.int64))
+            for j in self.smpl_joint_names[1:]])
+        self._qvel_bwd = np.concatenate([
+            np.arange(*nv_a[self.smpl_joint_names[0]])
+            if self.smpl_joint_names[0] in nv_a else np.full(6, -1)] + [
+            (np.arange(*nv_a[j]) if j in nv_a else np.full(3, -1, np.int64))
+            for j in self.smpl_joint_names[1:]])
         self._jpos_bwd = np.array(
-            [self.new_joint_names.index(j) for j in self.smpl_joint_names])
+            [self.new_joint_names.index(j) if j in self.new_joint_names
+             else -1 for j in self.smpl_joint_names])
 
     # -- state remaps (batched; jit/vmap safe) --------------------------------
     def qpos_smpl_2_new(self, qpos):
@@ -127,15 +135,18 @@ class SMPLConverter:
         return out * (self._qvel_fwd >= 0)
 
     def qpos_new_2_smpl(self, qpos):
-        return jnp.take(qpos, self._qpos_bwd, axis=-1)
+        out = jnp.take(qpos, jnp.maximum(self._qpos_bwd, 0), axis=-1)
+        return out * (self._qpos_bwd >= 0)
 
     def qvel_new_2_smpl(self, qvel):
-        return jnp.take(qvel, self._qvel_bwd, axis=-1)
+        out = jnp.take(qvel, jnp.maximum(self._qvel_bwd, 0), axis=-1)
+        return out * (self._qvel_bwd >= 0)
 
     def jpos_new_2_smpl(self, jpos):
         j = jnp.reshape(jpos, jpos.shape[:-1] + (-1, 3)) \
             if jpos.shape[-1] != 3 else jpos
-        return jnp.take(j, self._jpos_bwd, axis=-2)
+        out = jnp.take(j, jnp.maximum(self._jpos_bwd, 0), axis=-2)
+        return out * (self._jpos_bwd >= 0)[:, None]
 
     # -- per-joint tables of the new model (smpl_mujoco.py:259-281) -----------
     def get_new_qpos_lim(self) -> int:

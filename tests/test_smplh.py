@@ -111,3 +111,32 @@ def test_smplh_qpose_rejects_24(smplh):
     from uhc_tpu.data.dataset import _pose_to_qpose
     with pytest.raises(ValueError):
         _pose_to_qpose(topo, model, np.zeros((3, 72), np.float32), None)
+
+
+def test_smplx_family(smplh):
+    """SMPL-X 55-body extension (smpl_parser.py:97 SMPLX_BONE_ORDER_NAMES):
+    SMPL-H + Jaw + eyes off the Head."""
+    from uhc_tpu.smpl.smplh import (smplx_model, smplx_to_qpose,
+                                    smplx_topology)
+    topo24, model24 = load_mjcf_humanoid(XML)
+    topo = smplx_topology()
+    assert topo.nbody == 55 and topo.nq == 169
+    assert topo.parents[topo.body_names.index("Jaw")] == \
+        topo.body_names.index("Head")
+    assert head_index(topo) == 13
+    model = model_to_dtype(smplx_model(topo24, model24), jnp.float32)
+    assert np.all(np.asarray(model.body_mass) > 0)
+    T = 6
+    pose = np.zeros((T, 165), np.float32)
+    pose[:, 66:75] = 0.1     # jaw/eye articulation
+    lib, _ = build_expert_library(topo, model, {
+        "c": {"pose_aa": pose, "trans": None}})
+    assert lib["qpos"].shape == (1, T, 169)
+    cfg = EnvConfig(meta_pd=True, residual_force=True, reactive_v=0,
+                    env_init_noise=0.0)
+    state = H.env_reset(topo, model, cfg, jax.random.PRNGKey(0),
+                        jnp.zeros((), jnp.int32), lib, lib["qpos"][0, 0],
+                        lib["qvel"][0, 0], train=False)
+    obs = H.get_obs(topo, model, cfg, state, lib)
+    assert obs.shape == (H.obs_dim(topo, cfg),)
+    assert bool(jnp.all(jnp.isfinite(obs)))

@@ -133,6 +133,11 @@ def _pose_to_qpose(topo: Topology, model: Model, pose_aa, trans):
         if pose_aa.shape[-1] == 72:
             raise ValueError("52-body topology needs 156-dof SMPL-H poses")
         return smplh_to_qpose(pose_aa, model.body_pos[0], trans)
+    if topo.nbody == 55:
+        from uhc_tpu.smpl.smplh import smplx_to_qpose
+        if pose_aa.shape[-1] != 165:
+            raise ValueError("55-body topology needs 165-dof SMPL-X poses")
+        return smplx_to_qpose(pose_aa, model.body_pos[0], trans)
     if pose_aa.shape[-1] > 72:  # SMPL-H 156 -> SMPL body dofs
         pose_aa = np.concatenate(
             [pose_aa[:, :66], np.zeros((len(pose_aa), 6), pose_aa.dtype)], -1)

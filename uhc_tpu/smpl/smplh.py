@@ -248,3 +248,140 @@ def smplh_diff_weights():
 def ee_indices_smplh() -> np.ndarray:
     return np.array([SMPLH_MUJOCO_NAMES.index(n) for n in SMPL_EE_NAMES],
                     np.int32)
+
+
+# ---------------------------------------------------------------------------
+# SMPL-X (55 articulated bodies: SMPL-H + Jaw + eyes; reference
+# smpl_parser.py:97 SMPLX_BONE_ORDER_NAMES — entries past index 54 are
+# surface landmarks, not articulated bodies)
+# ---------------------------------------------------------------------------
+
+SMPLX_BONE_ORDER_NAMES = (
+    SMPLH_BONE_ORDER_NAMES[:22]
+    + ["Jaw", "L_Eye_Smplhf", "R_Eye_Smplhf"]
+    + SMPLH_BONE_ORDER_NAMES[22:])
+
+# native parents: body chain as SMPL-H; Jaw/eyes hang off the Head (15);
+# finger indices shift by the 3 inserted face joints
+SMPLX_PARENTS = np.concatenate([
+    SMPLH_PARENTS[:22],
+    np.array([15, 15, 15], np.int32),
+    np.where(SMPLH_PARENTS[22:] >= 22, SMPLH_PARENTS[22:] + 3,
+             SMPLH_PARENTS[22:]),
+]).astype(np.int32)
+
+NUM_SMPLX_BODIES = 55
+
+
+def _dfs_order_generic(parents):
+    children = {i: [] for i in range(-1, len(parents))}
+    for i, p in enumerate(parents):
+        children[int(p)].append(i)
+    order = []
+
+    def visit(i):
+        order.append(i)
+        for c in children[i]:
+            visit(c)
+
+    visit(0)
+    return np.asarray(order, np.int32)
+
+
+SMPLX_2_MUJOCO = _dfs_order_generic(SMPLX_PARENTS)
+MUJOCO_2_SMPLX = np.argsort(SMPLX_2_MUJOCO).astype(np.int32)
+SMPLX_MUJOCO_NAMES = [SMPLX_BONE_ORDER_NAMES[i] for i in SMPLX_2_MUJOCO]
+SMPLX_MUJOCO_PARENTS = np.array(
+    [-1] + [int(MUJOCO_2_SMPLX[SMPLX_PARENTS[SMPLX_2_MUJOCO[i]]])
+            for i in range(1, NUM_SMPLX_BODIES)], np.int32)
+
+
+def smplx_topology() -> Topology:
+    return Topology(nbody=NUM_SMPLX_BODIES,
+                    parents=tuple(int(p) for p in SMPLX_MUJOCO_PARENTS),
+                    body_names=tuple(SMPLX_MUJOCO_NAMES))
+
+
+_FACE_OFFSETS = {          # defaults from the Head, body frame (m)
+    "Jaw": np.array([0.0, 0.0, 0.04], np.float32),
+    "L_Eye_Smplhf": np.array([0.03, 0.02, 0.06], np.float32),
+    "R_Eye_Smplhf": np.array([-0.03, 0.02, 0.06], np.float32),
+}
+
+
+def smplx_model(topo24: Topology, base_model: Model,
+                finger_offsets: dict | None = None) -> Model:
+    """55-body SMPL-X Model: the SMPL-H build + jaw/eye micro-bodies
+    parented to the Head (tiny mass/inertia, soft [20, 2, 1, 20] gains)."""
+    import dataclasses as _dc
+
+    m52 = smplh_model(topo24, base_model, finger_offsets)
+    t52 = smplh_topology()
+    topo = smplx_topology()
+    names52 = list(t52.body_names)
+    nb = topo.nbody
+    K = np.asarray(m52.contact_point).shape[1]
+    SC = np.asarray(m52.sc_point).shape[1]
+
+    out = {f: np.zeros((nb,) + np.asarray(getattr(m52, f)).shape[1:],
+                       np.float32)
+           for f in ("body_pos", "body_ipos", "body_mass", "body_inertia",
+                     "body_iquat", "contact_point", "contact_mask",
+                     "sc_point", "sc_radius")}
+    jkp, jkd, tq, a_sc = [], [], [], []
+    jnt_range = []
+    for i, name in enumerate(topo.body_names):
+        if name in names52:
+            j = names52.index(name)
+            for f in out:
+                out[f][i] = np.asarray(getattr(m52, f))[j]
+            if i > 0:
+                s = 3 * (j - 1)
+                jkp += list(np.asarray(m52.jkp)[s:s + 3])
+                jkd += list(np.asarray(m52.jkd)[s:s + 3])
+                tq += list(np.asarray(m52.torque_lim)[s:s + 3])
+                a_sc += list(np.asarray(m52.a_scale)[s:s + 3])
+                jnt_range += list(np.asarray(m52.jnt_range)[s:s + 3])
+        else:  # face micro-body
+            out["body_pos"][i] = _FACE_OFFSETS[name]
+            out["body_iquat"][i] = [1, 0, 0, 0]
+            out["body_mass"][i] = 0.05
+            out["body_inertia"][i] = 5e-6
+            out["sc_point"][i] = _FACE_OFFSETS[name] * 0.2
+            out["sc_radius"][i] = 0.01
+            jkp += [20.0] * 3
+            jkd += [2.0] * 3
+            tq += [20.0] * 3
+            a_sc += [1.0] * 3
+            jnt_range += [[-np.pi / 4, np.pi / 4]] * 3
+
+    armature = np.zeros(topo.nv, np.float32)
+    armature[6:] = 0.01
+    return _dc.replace(
+        base_model,
+        **{k: v for k, v in out.items()},
+        armature=armature,
+        jkp=np.asarray(jkp, np.float32), jkd=np.asarray(jkd, np.float32),
+        torque_lim=np.asarray(tq, np.float32),
+        a_scale=np.asarray(a_sc, np.float32),
+        jnt_range=np.asarray(jnt_range, np.float32))
+
+
+def smplx_to_qpose(pose_aa, root_offset, trans=None, count_offset=True):
+    """(T, 165) SMPL-X axis-angle (native order) -> MuJoCo qpos."""
+    import jax.numpy as jnp
+
+    from uhc_tpu.maths import euler_zyx_from_quat, quat_from_rotvec
+    from uhc_tpu.smpl.convert import DEFAULT_Z
+
+    pose_aa = jnp.asarray(pose_aa)
+    T = pose_aa.shape[0]
+    if trans is None:
+        trans = jnp.zeros((T, 3)).at[:, 2].set(DEFAULT_Z)
+    trans = jnp.asarray(trans).reshape(T, 3)
+    aa = pose_aa.reshape(T, NUM_SMPLX_BODIES, 3)
+    quats = quat_from_rotvec(aa)[:, SMPLX_2_MUJOCO]
+    root_quat = quats[:, 0]
+    eulers = euler_zyx_from_quat(quats[:, 1:])
+    pos = trans + jnp.asarray(root_offset) if count_offset else trans
+    return jnp.concatenate([pos, root_quat, eulers.reshape(T, -1)], axis=1)

@@ -272,16 +272,32 @@ class CopycatAgent:
         res = summarize(traj, fail_safe, percent, self.expert_lib,
                         self.seq_keys)
         cov = res["summary"]["coverage"]
-        if cov >= getattr(self, "_best_coverage", -1):
+        if not hasattr(self, "_best_coverage"):
+            # resume-safe: a fresh (short) run must not clobber a better
+            # iter_best.p from a previous run
+            self._best_coverage = self._read_best_coverage()
+        if cov >= self._best_coverage:
             self._best_coverage = cov
-            self.save_checkpoint(self.epoch, name="iter_best.p")
+            self.save_checkpoint(self.epoch, name="iter_best.p",
+                                 extra={"coverage": cov})
         return res
+
+    def _read_best_coverage(self):
+        path = os.path.join(self.results_dir, "models", "iter_best.p")
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    return pickle.load(f).get("coverage", 0)
+            except Exception:
+                return 0
+        return -1
 
     # -- checkpointing (pickle, like the reference iter_%04d.p) -------------
     def checkpoint_path(self, epoch):
         return os.path.join(self.results_dir, "models", f"iter_{epoch:04d}.p")
 
-    def save_checkpoint(self, epoch: int, name: str | None = None):
+    def save_checkpoint(self, epoch: int, name: str | None = None,
+                        extra: dict | None = None):
         state = {
             "policy_params": jax.device_get(self.ppo_state.policy_params),
             "value_params": jax.device_get(self.ppo_state.value_params),
@@ -289,6 +305,7 @@ class CopycatAgent:
             "running_stats": jax.device_get(dataclasses.asdict(self.rs)),
             "sampler": self.sampler.state_dict(),
             "epoch": epoch,
+            **(extra or {}),
         }
         path = (os.path.join(self.results_dir, "models", name)
                 if name else self.checkpoint_path(epoch))

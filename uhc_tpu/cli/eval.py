@@ -17,6 +17,8 @@ sys.path.insert(0, os.getcwd())
 
 
 def main():
+    from uhc_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--cfg", required=True)
     p.add_argument("--epoch", type=int, required=True)

@@ -20,6 +20,8 @@ sys.path.insert(0, os.getcwd())
 
 
 def main():
+    from uhc_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--results", required=True)
     p.add_argument("--json", default=None, help="write summary json here")

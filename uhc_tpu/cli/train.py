@@ -37,6 +37,8 @@ def main():
     args = p.parse_args()
 
     import jax
+    from uhc_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from uhc_tpu.config.config import Config
     from uhc_tpu.learn.agent import CopycatAgent
     from uhc_tpu.utils.logger import create_logger

@@ -106,3 +106,38 @@ def test_dryrun_multichip():
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     m.dryrun_multichip(8)
+
+
+def test_nn_zoo_remnants():
+    """ERD / CMLP / SimpleCNN / ResNet-feat / VideoStateNet shapes
+    (khrylib/models inventory, SURVEY.md §2.3 "NN zoo")."""
+    import jax
+    import jax.numpy as jnp
+
+    from uhc_tpu.learn import nets
+
+    key = jax.random.PRNGKey(0)
+    # ERD: (T, B, D) -> (T, B, D)
+    p = nets.erd_init(key, 16)
+    y, state = nets.erd_apply(p, jnp.zeros((5, 3, 16)))
+    assert y.shape == (5, 3, 16)
+    assert len(state) == 4
+    # CMLP: layers re-read conditioning
+    p = nets.cmlp_init(key, 8, 4, (32, 16))
+    y = nets.cmlp_apply(p, jnp.ones((2, 4)), jnp.zeros((2, 8)))
+    assert y.shape == (2, 16)
+    # SimpleCNN: (B,3,224,224) -> (B,out)
+    p = nets.simple_cnn_init(key, 128)
+    y = nets.simple_cnn_apply(p, jnp.zeros((1, 3, 224, 224)))
+    assert y.shape == (1, 128)
+    # ResNet feature net
+    p = nets.resnet_feat_init(key, 64, width=8, blocks=2)
+    y = nets.resnet_feat_apply(p, jnp.zeros((2, 3, 64, 64)))
+    assert y.shape == (2, 64)
+    # VideoStateNet (gru + tcn variants)
+    for kind in ("gru", "tcn"):
+        p = nets.video_state_net_init(key, 32, v_hdim=128,
+                                      v_net_type=kind, tcn_size=(64, 128))
+        y = nets.video_state_net_apply(p, jnp.zeros((7, 32)))
+        assert y.shape == (7, 128)
+    assert bool(jnp.all(jnp.isfinite(y)))

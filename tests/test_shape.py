@@ -136,3 +136,58 @@ def test_uhc_implicit_shape_config_loads():
     topo, _ = load_mjcf_humanoid(XML)
     # obs_v2 + full qvel + shape(17)
     assert H.obs_dim(topo, cfg.env) == 640 + 17
+
+
+def test_rel_joint_ranges():
+    """Knee/ankle/toe overrides (smpl_robot.py:1087-1110 rel_joint_lm)."""
+    import jax.numpy as jnp
+
+    from uhc_tpu.physics.model import model_to_dtype
+    from uhc_tpu.smpl.mjcf import load_mjcf_humanoid
+    from uhc_tpu.smpl.robot import rel_joint_ranges
+
+    topo, model = load_mjcf_humanoid(XML)
+    jr = np.asarray(rel_joint_ranges(topo, model))
+    names = list(topo.body_names)
+    kb = 3 * (names.index("L_Knee") - 1)
+    np.testing.assert_allclose(jr[kb], [-np.pi / 16, np.pi / 16], atol=1e-6)
+    np.testing.assert_allclose(jr[kb + 2], [-np.pi / 16, np.pi], atol=1e-6)
+    ab = 3 * (names.index("R_Ankle") - 1)
+    np.testing.assert_allclose(jr[ab], [-np.pi / 2, np.pi / 2], atol=1e-6)
+    tb = 3 * (names.index("L_Toe") - 1)
+    np.testing.assert_allclose(jr[tb + 2], [-np.pi / 2, np.pi / 2],
+                               atol=1e-6)
+    # untouched elsewhere
+    hb = 3 * (names.index("L_Hip") - 1)
+    np.testing.assert_allclose(jr[hb], np.asarray(model.jnt_range)[hb],
+                               atol=1e-6)
+
+
+def test_model_from_betas_exact_mass_props():
+    """Exact hull inertials per shape (VERDICT r2 item 8): physical mass
+    distribution from the shaped vertices, not s³ heuristics."""
+    import jax.numpy as jnp
+
+    from uhc_tpu.physics.model import model_to_dtype
+    from uhc_tpu.smpl.lbs import synthetic_smpl_data, vertex_body_assignment
+    from uhc_tpu.smpl.mjcf import load_mjcf_humanoid
+    from uhc_tpu.smpl.robot import model_from_betas, model_from_betas_exact
+
+    topo, base = load_mjcf_humanoid(XML)
+    base = model_to_dtype(base, jnp.float32)
+    data = synthetic_smpl_data(V=2048)
+    assign = vertex_body_assignment(data)
+    betas = jnp.zeros(16)
+    m = model_from_betas_exact(topo, base, data, betas, assign)
+    mass = np.asarray(m.body_mass)
+    iner = np.asarray(m.body_inertia)
+    assert np.all(mass > 0) and np.all(np.isfinite(mass))
+    assert np.all(iner > 0)
+    # bodies with >=8 assigned vertices got hull-derived (changed) masses
+    counts = np.bincount(assign, minlength=topo.nbody)
+    scaled = model_from_betas(topo, base, data, betas, assign)
+    changed = ~np.isclose(mass, np.asarray(scaled.body_mass))
+    assert changed[counts >= 8].any()
+    # inertia quats are unit
+    qn = np.linalg.norm(np.asarray(m.body_iquat), axis=1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-5)

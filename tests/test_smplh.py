@@ -140,3 +140,75 @@ def test_smplx_family(smplh):
     obs = H.get_obs(topo, model, cfg, state, lib)
     assert obs.shape == (H.obs_dim(topo, cfg),)
     assert bool(jnp.all(jnp.isfinite(obs)))
+
+
+def test_smplh_lbs_data_path(tmp_path):
+    """Real-data loader path (VERDICT r2 item 6): load_smplh_data reads a
+    52-joint model file, lbs runs on the 52-joint tree, and
+    smplh_model_from_data produces exact joint offsets matching the
+    regressor differences (smpl_parser.py:464 SMPLH_Parser)."""
+    from uhc_tpu.smpl.lbs import (lbs, load_smplh_data, shaped_joints,
+                                  smplh_offsets_from_betas,
+                                  synthetic_smpl_data)
+
+    sd = synthetic_smpl_data(nj=52)
+    # round-trip through an npz file like the real (non-redistributable)
+    # SMPL-H release
+    path = tmp_path / "smplh_neutral.npz"
+    np.savez(path,
+             v_template=np.asarray(sd.v_template),
+             shapedirs=np.asarray(sd.shapedirs),
+             J_regressor=np.asarray(sd.j_regressor),
+             weights=np.asarray(sd.weights))
+    data = load_smplh_data(str(path))
+    assert data.j_regressor.shape[0] == 52
+    assert data.weights.shape[1] == 52
+
+    betas = jnp.zeros((16,))
+    pose = jnp.zeros((52, 3))
+    verts, joints = lbs(data, pose, betas, trans=jnp.zeros(3))
+    assert joints.shape == (52, 3)
+    # zero pose: LBS joints == regressed joints
+    ref = shaped_joints(data, betas)
+    assert np.allclose(np.asarray(joints), np.asarray(ref), atol=1e-5)
+
+    offsets, root = smplh_offsets_from_betas(data, betas)
+    assert len(offsets) == 51
+    # offsets telescope back to the regressed joint positions
+    j = np.asarray(ref)
+    from uhc_tpu.smpl.smplh import SMPLH_BONE_ORDER_NAMES, SMPLH_PARENTS
+    for i in range(1, 52):
+        np.testing.assert_allclose(
+            offsets[SMPLH_BONE_ORDER_NAMES[i]],
+            j[i] - j[int(SMPLH_PARENTS[i])], atol=1e-6)
+
+    # model built from data carries the exact offsets
+    topo24, model24 = load_mjcf_humanoid(XML)
+    m = SH.smplh_model_from_data(topo24, model24, data)
+    topo = SH.smplh_topology()
+    names = list(topo.body_names)
+    bp = np.asarray(m.body_pos)
+    for name in ("L_Index1", "R_Thumb3", "L_Knee", "Head"):
+        np.testing.assert_allclose(bp[names.index(name)], offsets[name],
+                                   atol=1e-6)
+
+
+def test_smplx_lbs_data_path():
+    """55-joint SMPL-X variant of the loader path."""
+    from uhc_tpu.smpl.lbs import (lbs, shaped_joints,
+                                  smplh_offsets_from_betas,
+                                  synthetic_smpl_data)
+
+    data = synthetic_smpl_data(nj=55)
+    betas = jnp.zeros((16,))
+    verts, joints = lbs(data, jnp.zeros((55, 3)), betas)
+    assert joints.shape == (55, 3)
+    offsets, root = smplh_offsets_from_betas(data, betas)
+    assert "Jaw" in offsets and len(offsets) == 54
+    topo24, model24 = load_mjcf_humanoid(XML)
+    m = SH.smplx_model_from_data(topo24, model24, data)
+    topo = SH.smplx_topology()
+    bp = np.asarray(m.body_pos)
+    names = list(topo.body_names)
+    np.testing.assert_allclose(bp[names.index("Jaw")], offsets["Jaw"],
+                               atol=1e-6)

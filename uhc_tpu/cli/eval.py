@@ -46,7 +46,7 @@ def main():
 
     max_steps = int(agent.expert_lib["len"].max()) - 1
     eval_fn = make_eval_fn(agent.topo, agent.env_cfg, agent.policy_mean_fn,
-                           max_steps)
+                           max_steps, fused_model=agent._fused_model)
     traj, fail_safe, percent = eval_fn(
         agent.sim_model, agent.expert_lib, agent.aux,
         agent.ppo_state.policy_params, agent.rs)

@@ -34,6 +34,10 @@ def main():
                    help="agent registry (uhc/agents/__init__.py agent_dict)")
     p.add_argument("--cc-checkpoint", default=None,
                    help="frozen copycat checkpoint for --agent uhm")
+    p.add_argument("--results-dir", default=None,
+                   help="override results/<cfg_id> output directory")
+    p.add_argument("--smpl-data", default=None,
+                   help="SMPL model pkl/npz for shape-conditioned training")
     args = p.parse_args()
 
     import jax
@@ -59,12 +63,15 @@ def main():
         agent = UHMAgent(cfg, args.motion_file,
                          cc_checkpoint_path=args.cc_checkpoint,
                          num_envs=args.num_envs, horizon=args.horizon,
-                         max_seq_len=args.max_seq_len)
+                         max_seq_len=args.max_seq_len,
+                         results_dir=args.results_dir)
         logger = create_logger(os.path.join(agent.results_dir, "log"))
     else:
         agent = CopycatAgent(cfg, args.motion_file, num_envs=args.num_envs,
                              horizon=args.horizon, mesh=mesh, seed=args.seed,
-                             max_seq_len=args.max_seq_len)
+                             max_seq_len=args.max_seq_len,
+                             results_dir=args.results_dir,
+                             smpl_data=args.smpl_data)
         logger = create_logger(os.path.join(agent.results_dir, "log"))
         logger.info(f"cfg {cfg.cfg_id}: obs_dim={agent.obs_dim} "
                     f"action_dim={agent.action_dim} seqs={len(agent.seq_keys)}")

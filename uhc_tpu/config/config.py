@@ -64,6 +64,10 @@ class EnvConfig:
     # robot family: "smpl" (24 bodies) or "smplh" (52, articulated hands)
     # (copycat_config.py:121 robot_cfg["model"])
     robot_model: str = "smpl"
+    # ball-joint (quaternion) variant (robot_cfg["ball"],
+    # humanoid_im.py:52 use_quat; config/copycat_ball/*.yml): qpos carries a
+    # quaternion per joint, control is direct torque, obs is v2_quat
+    robot_ball: bool = False
     # foot-model variants (config/masterfoot, config/bigfoot)
     masterfoot: bool = False
     master_range: float = 30.0
@@ -204,6 +208,7 @@ class Config:
             t_min=d.get("data_specs", {}).get("t_min", 15),
             t_max=d.get("data_specs", {}).get("t_max", 300),
             robot_model=d.get("robot", {}).get("model", "smpl"),
+            robot_ball=bool(d.get("robot", {}).get("ball", False)),
             masterfoot=d.get("masterfoot", False),
             master_range=d.get("master_range", 30.0),
             bigfoot="bigfoot" in d.get("mujoco_model", ""),

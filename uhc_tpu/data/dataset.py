@@ -141,6 +141,11 @@ def _pose_to_qpose(topo: Topology, model: Model, pose_aa, trans):
     if pose_aa.shape[-1] > 72:  # SMPL-H 156 -> SMPL body dofs
         pose_aa = np.concatenate(
             [pose_aa[:, :66], np.zeros((len(pose_aa), 6), pose_aa.dtype)], -1)
+    if topo.joint_kind == "ball":
+        # quaternion-joint layout (smpl_to_qpose use_quat=True,
+        # reference humanoid_im.py:193)
+        from uhc_tpu.smpl.convert import smpl_to_qpose_ball
+        return smpl_to_qpose_ball(pose_aa, model.body_pos[0], trans)
     return smpl_to_qpose(pose_aa, model.body_pos[0], trans)
 
 
@@ -170,7 +175,9 @@ def _stack_library(feats, extra_keys=()):
 
 def build_shaped_library(topo: Topology, base_model: Model, seqs,
                          smpl_data, cfg, fps: float = 30.0,
-                         max_len: Optional[int] = None):
+                         max_len: Optional[int] = None,
+                         exact_mass: bool = False,
+                         rel_joint_lm: bool = True):
     """Shape-conditioned expert library (reference humanoid_im.py:154-180
     reset_robot: per-beta robot rebuild + per-beta expert featurization;
     smpl_robot.py:1018 load_from_skeleton).
@@ -217,8 +224,23 @@ def build_shaped_library(topo: Topology, base_model: Model, seqs,
         n_b = int(np.asarray(sd0.shapedirs).shape[-1])
         beta16, gender = seq_beta_gender(d, 16)
         sd = smpl_by_gender.get(gender, sd0)
-        model_s = model_from_betas(topo, base_model, sd,
-                                   jnp.asarray(beta16[:n_b]), assign[id(sd)])
+        if exact_mass:
+            # exact hull mass properties + anatomical ranges
+            # (smpl_robot.py:1087-1110 rel_joint_lm; MuJoCo-style hull
+            # inertials via the Mirtich integrals)
+            from uhc_tpu.smpl.robot import model_from_betas_exact
+            model_s = model_from_betas_exact(
+                topo, base_model, sd, jnp.asarray(beta16[:n_b]),
+                assign[id(sd)], rel_joint_lm=rel_joint_lm)
+        else:
+            model_s = model_from_betas(topo, base_model, sd,
+                                       jnp.asarray(beta16[:n_b]),
+                                       assign[id(sd)])
+            if rel_joint_lm:
+                import dataclasses as _dc2
+                from uhc_tpu.smpl.robot import rel_joint_ranges
+                model_s = _dc2.replace(
+                    model_s, jnt_range=rel_joint_ranges(topo, model_s))
         pose_aa = np.asarray(d["pose_aa"])
         trans = d.get("trans")
         if max_len is not None:

@@ -20,6 +20,7 @@ from uhc_tpu.maths import (
     angvel_fd,
     quat_from_euler_zyx,
     qvel_fd,
+    qvel_fd_ball,
     transform_vec,
 )
 from uhc_tpu.physics import engine as E
@@ -40,11 +41,16 @@ def qpos_fk(topo: Topology, model: Model, qpos_seq: jnp.ndarray, fps: float = 30
     wbquat = kin["xquat"]          # (T, nb, 4)
     body_com = kin["xipos"]        # (T, nb, 3)
 
-    joint_quats = quat_from_euler_zyx(qpos_seq[:, 7:].reshape(T, -1, 3))
+    ball = topo.joint_kind == "ball"
+    if ball:
+        joint_quats = qpos_seq[:, 7:].reshape(T, -1, 4)
+    else:
+        joint_quats = quat_from_euler_zyx(qpos_seq[:, 7:].reshape(T, -1, 3))
     bquat = jnp.concatenate([qpos_seq[:, None, 3:7], joint_quats], axis=1)
 
     if T > 1:
-        qvel = qvel_fd(qpos_seq[:-1], qpos_seq[1:], dt)
+        fd = qvel_fd_ball if ball else qvel_fd
+        qvel = fd(qpos_seq[:-1], qpos_seq[1:], dt)
         qvel = jnp.concatenate([qvel[0:1], qvel], axis=0)
     else:
         qvel = jnp.zeros((1, topo.nv), qpos_seq.dtype)

@@ -57,6 +57,12 @@ class EnvState:
     end: Any           # bool
     percent: Any       # f32
     rng: Any           # PRNG key
+    # object-scene track (dataset_smpl_obj.py): per-frame free-joint qpos of
+    # the scene objects, kinematic and expert-driven — the reference appends
+    # these dofs to the sim state at reset (humanoid_im.py:1285-1292); here
+    # they ride EnvState so steps/resets keep them in sync with the clip.
+    # None when the motion library carries no objects.
+    obj_qpos: Any = None
 
 
 # ---------------------------------------------------------------------------
@@ -129,13 +135,17 @@ def do_simulation(topo: Topology, model: Model, cfg: EnvConfig, qpos, qvel,
 
     def sub(carry, i):
         qp, qv = carry
-        # action_v=1: PD target = next expert pose (±π-wrapped to current
-        # qpos) + policy offset (humanoid_im.py:1040-1048)
-        if cfg.action_v == 1:
+        if cfg.action_type == "torque":
+            # τ = ctrl·a_scale·100, clipped (humanoid_im.py:1158-1160) —
+            # the ball-joint family's control mode; no PD target
+            target_pos = jnp.zeros(ndof, qp.dtype)
+        elif cfg.action_v == 1:
+            # action_v=1: PD target = next expert pose (±π-wrapped to
+            # current qpos) + policy offset (humanoid_im.py:1040-1048)
             base = qp[7:] + wrap_to_pi(target_base - qp[7:])
+            target_pos = base + ctrl_joint
         else:
-            base = jnp.zeros_like(qp[7:])
-        target_pos = base + ctrl_joint
+            target_pos = jnp.zeros_like(qp[7:]) + ctrl_joint
 
         if cfg.meta_pd:
             kp = model.jkp * kp_scale[i]
@@ -178,9 +188,16 @@ def do_simulation(topo: Topology, model: Model, cfg: EnvConfig, qpos, qvel,
                 vf_gate = ("ground" if cfg.residual_contact_only_ground
                            else "height")
 
-        qp, qv, tau = E.substep(topo, model, qp, qv, target_pos, kp, kd,
-                                qfrc_applied, vf_body, vf_gate,
-                                cfg.self_collision)
+        if cfg.action_type == "torque":
+            tau = jnp.clip(ctrl_joint * model.a_scale * 100.0,
+                           -model.torque_lim, model.torque_lim)
+            qp, qv, tau = E.substep_torque(topo, model, qp, qv, tau,
+                                           qfrc_applied, vf_body, vf_gate,
+                                           cfg.self_collision)
+        else:
+            qp, qv, tau = E.substep(topo, model, qp, qv, target_pos, kp, kd,
+                                    qfrc_applied, vf_body, vf_gate,
+                                    cfg.self_collision)
         return (qp, qv), None
 
     (qpos, qvel), _ = jax.lax.scan(sub, (qpos, qvel),
@@ -195,8 +212,16 @@ def do_simulation(topo: Topology, model: Model, cfg: EnvConfig, qpos, qvel,
 
 def get_body_quat(qpos):
     """Root quat + per-joint local quats, flat (nb*4,)
-    (humanoid_im.py:925 get_body_quat)."""
-    jq = quat_from_euler_zyx(qpos[7:].reshape(-1, 3))
+    (humanoid_im.py:925 get_body_quat; :927 use_quat branch reads the joint
+    quaternions straight out of qpos).
+
+    Ball-joint qpos is recognized by its static length (7 + 4·nj is never
+    ≡ 7 mod 3 for the 24-body family; ball is only defined there)."""
+    n = qpos.shape[0]
+    if (n - 7) % 3 != 0:          # ball joints: quats already in qpos
+        jq = qpos[7:].reshape(-1, 4)
+    else:
+        jq = quat_from_euler_zyx(qpos[7:].reshape(-1, 3))
     return jnp.concatenate([qpos[3:7][None], jq], axis=0).reshape(-1)
 
 
@@ -251,6 +276,79 @@ def obs_v2(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
     # component-major — replicated for exact feature-order parity.
     curr_jpos = kin["xpos"]
     r_jpos = curr_jpos - qpos_dh[None, :3]
+    r_jpos = transform_vec(r_jpos, curr_root_quat[None], cfg.obs_coord)
+    obs.append(r_jpos.T.reshape(-1))
+    diff_jpos = target_jpos - curr_jpos
+    diff_jpos = transform_vec(diff_jpos, curr_root_quat[None], cfg.obs_coord)
+    obs.append(diff_jpos.T.reshape(-1))
+
+    cur_quat = kin["xquat"]
+    obs.append(quat_mul(quat_inv(hq)[None], cur_quat).reshape(-1))
+    obs.append(quat_mul(quat_inv(cur_quat), target_quat).reshape(-1))
+
+    if cfg.has_shape and cfg.has_shape_obs and shape_obs is not None:
+        obs.append(shape_obs)
+    return jnp.concatenate(obs)
+
+
+def obs_v2_quat(topo: Topology, model: Model, cfg: EnvConfig,
+                state: EnvState, expert_lib, shape_obs=None,
+                delta_t: int = 0, tgt=None):
+    """get_full_obs_v2_quat (humanoid_im.py:668-766) — the ball-joint
+    family's observation: joint poses enter as quaternion differences
+    q_cur⁻¹ ⊗ q_target over root + all joints, plus z heights, qvel,
+    relative heading/xy, body-frame joint positions, and heading-relative /
+    relative world body quats. Feature order exact."""
+    qpos = state.qpos
+    qvel = state.qvel
+    nb = topo.nbody
+    base_rot = jnp.asarray(cfg.base_rot, qpos.dtype)
+    if tgt is None:
+        tgt = expert_at(expert_lib, state.seq_idx,
+                        state.start_ind + state.cur_t + 1 + delta_t)
+
+    kin = E.fk(topo, model, qpos)
+    obs = []
+
+    # (reference transforms the linear velocity twice — :676 then :702;
+    # replicated for feature parity)
+    qvel = qvel.at[:3].set(transform_vec(qvel[:3], qpos[3:7], cfg.obs_coord))
+    curr_root_quat = quat_mul(qpos[3:7], quat_inv(base_rot))
+    hq = heading_quat(curr_root_quat)
+    obs.append(hq)
+
+    target_qpos = tgt["qpos"]
+    target_quat = tgt["wbquat"].reshape(-1, 4)
+    target_jpos = tgt["wbpos"].reshape(-1, 3)
+    target_root_quat = quat_mul(target_qpos[3:7], quat_inv(base_rot))
+
+    obs += [target_qpos[2:3], qpos[2:3], (target_qpos[2] - qpos[2])[None]]
+
+    # quaternion differences over root + every joint (:697): both sides
+    # carry the base-removed root quat in slot 0
+    cur_quats = jnp.concatenate(
+        [curr_root_quat[None], qpos[7:].reshape(-1, 4)], axis=0)
+    tgt_quats = jnp.concatenate(
+        [target_root_quat[None], target_qpos[7:].reshape(-1, 4)], axis=0)
+    obs.append(quat_mul(quat_inv(cur_quats), tgt_quats).reshape(-1))
+
+    qvel = qvel.at[:3].set(
+        transform_vec(qvel[:3], curr_root_quat, cfg.obs_coord))
+    obs.append(qvel if cfg.obs_vel == "full" else qvel[:6])
+
+    rel_h = wrap_to_pi(heading_angle(target_root_quat)
+                       - heading_angle(curr_root_quat))
+    obs.append(rel_h[None])
+
+    # NOTE: reference reads target_root_quat[:3] here (humanoid_im.py:719) —
+    # kept bit-for-bit for checkpoint parity.
+    rel_pos = target_root_quat[:3] - qpos[:3]
+    rel_pos = transform_vec(rel_pos, curr_root_quat, cfg.obs_coord)
+    obs.append(rel_pos[:2])
+
+    # component-major position blocks (transform_vec_batch ravel, see obs_v2)
+    curr_jpos = kin["xpos"]
+    r_jpos = curr_jpos - qpos[None, :3]
     r_jpos = transform_vec(r_jpos, curr_root_quat[None], cfg.obs_coord)
     obs.append(r_jpos.T.reshape(-1))
     diff_jpos = target_jpos - curr_jpos
@@ -555,6 +653,10 @@ def get_obs(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
     if cfg.obs_v == 1:
         return obs_v1(topo, model, cfg, state, expert_lib, shape_obs, tgt=tgt)
     if cfg.obs_v == 2:
+        if cfg.robot_ball:
+            # use_quat dispatch (humanoid_im.py:276-279)
+            return obs_v2_quat(topo, model, cfg, state, expert_lib,
+                               shape_obs, tgt=tgt)
         return obs_v2(topo, model, cfg, state, expert_lib, shape_obs, tgt=tgt)
     if cfg.obs_v == 3:
         # stacked future frames (humanoid_im.py:758-762 reads fut_frames and
@@ -568,8 +670,6 @@ def get_obs(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
         return obs_v5(topo, model, cfg, state, expert_lib, shape_obs, tgt=tgt)
     if cfg.obs_v == 6:
         return obs_v6(topo, model, cfg, state, expert_lib, shape_obs, tgt=tgt)
-    # obs_v "v2_quat" requires the ball-joint (quaternion) robot topology
-    # (config/copycat_ball); deferred with that model family.
     raise NotImplementedError(f"obs_v={cfg.obs_v}")
 
 
@@ -614,6 +714,10 @@ def obs_dim(topo: Topology, cfg: EnvConfig,
     if cfg.obs_v == 1:
         return 4 + 3 * (nq - 2) + vel + 1 + 2 + 3 * nb * 4 + 4 * nb * 2 + shape
     if cfg.obs_v == 2:
+        if cfg.robot_ball:
+            # v2_quat: hq(4) + z's(3) + quat diffs(4nb) + qvel + rel(3)
+            # + jpos blocks(6nb) + wbquat blocks(8nb)
+            return 4 + 3 + 4 * nb + vel + 3 + 6 * nb + 8 * nb + shape
         return 4 + 3 * (nq - 2) + vel + 1 + 2 + 3 * nb * 2 + 4 * nb * 2 + shape
     if cfg.obs_v == 3:
         return cfg.fut_frames * obs_dim(
@@ -699,7 +803,11 @@ def env_step(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
                                action, tgt["qpos"][7:], rfc_rate)
     state = dataclasses.replace(state, qpos=qpos, qvel=qvel,
                                 prev_qpos=state.qpos,
-                                cur_t=state.cur_t + 1, prev_bquat=prev_bquat)
+                                cur_t=state.cur_t + 1, prev_bquat=prev_bquat,
+                                # kinematic object playback (the reference's
+                                # obj free-joint dofs, humanoid_im.py:1285)
+                                obj_qpos=tgt.get("obj_pose",
+                                                 state.obj_qpos))
     return env_post_step(topo, model, cfg, state, action, expert_lib,
                          jpos_diffw, body_diffw, train)
 
@@ -710,12 +818,14 @@ def fused_compatible(cfg: EnvConfig) -> bool:
     self-collision)."""
     return ((not cfg.residual_force
              or cfg.residual_force_mode == "implicit")
-            and not cfg.meta_pd_joint and not cfg.self_collision)
+            and not cfg.meta_pd_joint and not cfg.self_collision
+            and cfg.action_type != "torque")
 
 
 def make_env_step_batched(topo: Topology, cfg: EnvConfig,
                           use_fast_solver: bool = True, pcg_iters: int = 5,
-                          fused_model: Model = None):
+                          fused_model: Model = None,
+                          fused_pcg_iters: int = 3):
     """Batch-level control step: the physics substep chain runs at batch
     level (enabling the maintained-inverse solver,
     uhc_tpu.physics.solver.make_do_simulation); obs/reward/termination are
@@ -725,23 +835,27 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
     the substep chain through the fused Pallas control-step kernel
     (physics.pallas_substep) when the config allows it — the kernel bakes
     the model, so it must equal the model passed at step time."""
-    if fused_model is not None and fused_compatible(cfg):
+    if fused_model is not None:
         from uhc_tpu.physics.model import model_is_batched
-        if not model_is_batched(fused_model):
-            from uhc_tpu.physics.pallas_substep import \
-                make_fused_do_simulation
+        if not fused_compatible(cfg) or model_is_batched(fused_model):
+            fused_model = None        # incompatible config -> XLA fallback
+    if cfg.action_type == "torque":
+        # torque control (ball family) runs the generic per-env path — the
+        # maintained-inverse solver's PD-target algebra assumes euler qpos
+        use_fast_solver = False
+        fused_model = None
+    if fused_model is not None:
+        from uhc_tpu.physics.pallas_substep import make_fused_do_simulation
 
-            fast_sim = make_fused_do_simulation(topo, cfg, fused_model,
-                                                pcg_iters=pcg_iters)
-            fast_sim_takes_model = False
-        else:
-            fused_model = None
-    if fused_model is None and use_fast_solver:
+        fast_sim = make_fused_do_simulation(topo, cfg, fused_model,
+                                            pcg_iters=fused_pcg_iters)
+        fast_sim_takes_model = False
+    elif use_fast_solver:
         from uhc_tpu.physics.solver import make_do_simulation
 
         fast_sim = make_do_simulation(topo, cfg, pcg_iters)
         fast_sim_takes_model = True
-    elif fused_model is None:
+    else:
         fast_sim = None
         fast_sim_takes_model = True
 
@@ -778,7 +892,8 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
                 m, states.qpos, states.qvel, actions, target_base)
         states = dataclasses.replace(
             states, qpos=qpos, qvel=qvel, prev_qpos=states.qpos,
-            cur_t=states.cur_t + 1, prev_bquat=prev_bquat)
+            cur_t=states.cur_t + 1, prev_bquat=prev_bquat,
+            obj_qpos=tgt.get("obj_pose", states.obj_qpos))
         return jax.vmap(
             lambda mm, s, a: env_post_step(topo, mm, cfg, s, a, expert_lib,
                                            jpos_diffw, body_diffw, train),
@@ -835,5 +950,7 @@ def env_reset(topo: Topology, model: Model, cfg: EnvConfig, rng, seq_idx,
         done=jnp.zeros((), bool), fail=jnp.zeros((), bool),
         end=jnp.zeros((), bool), percent=jnp.zeros((), init_qpos.dtype),
         rng=rng,
+        # object free-joint qpos at the start frame (humanoid_im.py:1285)
+        obj_qpos=exp0.get("obj_pose"),
     )
     return state

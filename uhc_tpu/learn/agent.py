@@ -58,11 +58,33 @@ class CopycatAgent:
 
         self.topo, model = load_mjcf_humanoid(model_xml)
         self.model = model_to_dtype(model, jnp.float32)
+        if self.env_cfg.robot_ball:
+            # ball-joint (quaternion) family: same tree, qpos carries one
+            # quat per joint, control is direct torque
+            # (config/copycat_ball/*.yml; humanoid_im.py:52 use_quat)
+            self.topo = dataclasses.replace(self.topo, joint_kind="ball")
         self._smplh = self.env_cfg.robot_model == "smplh"
         if self._smplh:
-            # SMPL-H 52-body family (config robot.model == "smplh")
-            from uhc_tpu.smpl.smplh import smplh_model, smplh_topology
-            model52 = smplh_model(self.topo, self.model)
+            # SMPL-H 52-body family (config robot.model == "smplh"); with
+            # real 52-joint SMPL-H model data the joint offsets are exact
+            # (smplh_model_from_data), otherwise anthropometric defaults
+            from uhc_tpu.smpl.smplh import (smplh_model,
+                                            smplh_model_from_data,
+                                            smplh_topology)
+            smplh_data = None
+            if isinstance(smpl_data, str):
+                from uhc_tpu.smpl.lbs import load_smplh_data
+                try:
+                    smplh_data = load_smplh_data(smpl_data)
+                except (ValueError, KeyError):
+                    smplh_data = None
+            elif smpl_data is not None and not isinstance(smpl_data, dict) \
+                    and int(np.asarray(smpl_data.j_regressor).shape[0]) == 52:
+                smplh_data = smpl_data
+            model52 = (smplh_model_from_data(self.topo, self.model,
+                                             smplh_data)
+                       if smplh_data is not None
+                       else smplh_model(self.topo, self.model))
             self.topo = smplh_topology()
             self.model = model_to_dtype(model52, jnp.float32)
 
@@ -86,6 +108,14 @@ class CopycatAgent:
             from uhc_tpu.data.dataset import build_shaped_library
             if smpl_data is None:
                 from uhc_tpu.smpl.lbs import synthetic_smpl_data
+                import warnings
+                warnings.warn(
+                    "shape training without SMPL model data: falling back to "
+                    "synthetic_smpl_data() (random blendshapes, NOT real SMPL "
+                    "bodies). Pass smpl_data=<path to SMPL pkl/npz> for real "
+                    "shapes.", stacklevel=2)
+                print("[uhc_tpu] WARNING: shape training is using SYNTHETIC "
+                      "SMPL blendshapes (no smpl_data provided).", flush=True)
                 smpl_data = synthetic_smpl_data()
             elif isinstance(smpl_data, str):
                 from uhc_tpu.smpl.lbs import load_smpl_data
@@ -94,13 +124,31 @@ class CopycatAgent:
                 self.topo, self.model, seqs, smpl_data, self.env_cfg,
                 max_len=max_seq_len)
             self.sim_model = model_to_dtype(model_lib, jnp.float32)
+            # kept for eval-time vertex penetration/skate metrics
+            # (smpl_eval.py:125,138 vertex pipeline)
+            self.smpl_data = (smpl_data if not isinstance(smpl_data, dict)
+                              else smpl_data.get(
+                                  "neutral", next(iter(smpl_data.values()))))
         else:
             self.expert_lib, self.seq_keys = build_expert_library(
                 self.topo, self.model, seqs, max_len=max_seq_len,
                 converter=self.converter, base_root_offset=base_root_offset)
             self.sim_model = self.model
+            if isinstance(smpl_data, str):
+                from uhc_tpu.smpl.lbs import load_smpl_data
+                smpl_data = load_smpl_data(smpl_data)
+            self.smpl_data = (smpl_data if not isinstance(smpl_data, dict)
+                              else smpl_data.get(
+                                  "neutral", next(iter(smpl_data.values()))))
         nq, nv = self.topo.nq, self.topo.nv
         neutral_qpos, neutral_qvel = load_neutral()
+        if self.env_cfg.robot_ball:
+            # the standing-neutral pose ships in euler layout; re-express the
+            # joints as quaternions for the ball family's reactive resets
+            from uhc_tpu.maths import quat_from_euler_zyx as _qfe
+            jq = _qfe(jnp.asarray(neutral_qpos)[7:].reshape(-1, 3))
+            neutral_qpos = jnp.concatenate(
+                [jnp.asarray(neutral_qpos)[:7], jq.reshape(-1)])
         if self.converter is not None:
             # remap the 24-body neutral reset pose onto the mutated tree
             neutral_qpos = self.converter.qpos_smpl_2_new(neutral_qpos)
@@ -158,8 +206,17 @@ class CopycatAgent:
         self.sampler = FailureFrequencySampler(
             len(self.seq_keys), cfg.sampling_temp, cfg.sampling_freq)
 
+        # Route physics through the fused Pallas control-step kernel when
+        # the config allows it (fused_compatible) and the model is static;
+        # make_env_step_batched falls back to the XLA solver otherwise.
+        # UHC_TPU_FUSED=0 forces the XLA path (e.g. CPU test runs).
+        self._fused_model = (
+            self.sim_model
+            if os.environ.get("UHC_TPU_FUSED", "1") == "1"
+            and jax.default_backend() == "tpu" else None)
         self._rollout = make_rollout_fn(self.topo, self.env_cfg,
-                                        self.policy_mean_fn, horizon)
+                                        self.policy_mean_fn, horizon,
+                                        fused_model=self._fused_model)
         self._ppo_update = make_ppo_update(
             self.policy_mean_fn, self.value_fn, self.policy_opt,
             self.value_opt, cfg.clip_epsilon, cfg.num_optim_epoch,
@@ -265,12 +322,19 @@ class CopycatAgent:
         if not hasattr(self, "_eval_fn") or self._eval_fn is None:
             max_steps = int(jax.device_get(self.expert_lib["len"]).max())
             self._eval_fn = make_eval_fn(self.topo, self.env_cfg,
-                                         self.policy_mean_fn, max_steps)
+                                         self.policy_mean_fn, max_steps,
+                                         fused_model=self._fused_model)
         traj, fail_safe, percent = self._eval_fn(
             self.sim_model, self.expert_lib, self.aux,
             self.ppo_state.policy_params, self.rs)
+        root_offset = None
+        if self.smpl_data is not None:
+            import numpy as _np
+            bp = _np.asarray(jax.device_get(self.sim_model.body_pos))
+            root_offset = bp[:, 0, :] if bp.ndim == 3 else bp[0]
         res = summarize(traj, fail_safe, percent, self.expert_lib,
-                        self.seq_keys)
+                        self.seq_keys, smpl_data=self.smpl_data,
+                        root_offset=root_offset)
         cov = res["summary"]["coverage"]
         if not hasattr(self, "_best_coverage"):
             # resume-safe: a fresh (short) run must not clobber a better

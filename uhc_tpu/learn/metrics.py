@@ -9,8 +9,12 @@ definitions and mm/×1000 scales:
   root_dist   Frobenius norm of 4x4 root-pose difference ×1000
   vel_dist    per-frame joint displacement difference (mm/frame)
   accel_dist  second-difference error (mm/frame²)
-Penetration/skate over mesh vertices are computed by the vertex pipeline
-(smpl LBS) when available; contact-point based fallbacks are provided.
+Penetration/skate (smpl_eval.py:125 compute_penetration / :138
+compute_skate) are computed from SMPL LBS vertices of the predicted poses
+via `compute_penetration_skate_vertices` + `vertices_from_qpos` when SMPL
+model data is available (learn.evaluate.summarize wires this); the
+contact-point variant `compute_penetration_skate` is the fallback when no
+SMPL data is present in the environment.
 """
 from __future__ import annotations
 
@@ -127,3 +131,45 @@ def compute_penetration_skate(points_z_xy: np.ndarray) -> Dict[str, float]:
             skate.append(0.0)
     return {"penetration": float(pen_per_frame.mean()),
             "skate": float(np.mean(skate)) if skate else 0.0}
+
+
+def compute_penetration_skate_vertices(verts: np.ndarray,
+                                       floor_z: float = 0.0) -> Dict[str, float]:
+    """Vertex-based penetration/skate — the reference's definitions
+    (smpl_eval.py:125 compute_penetration, :138 compute_skate), mm scales.
+
+    verts: (T, V, 3) SMPL mesh vertices of the *predicted* motion."""
+    z = verts[..., 2] - floor_z
+    pen = []
+    for zt in z:
+        pind = zt < 0
+        pen.append(float(-zt[pind].mean() * 1000) if pind.any() else 0.0)
+    skate = []
+    for t in range(verts.shape[0] - 1):
+        cind = (z[t] <= 0) & (z[t + 1] <= 0)
+        if cind.any():
+            off = verts[t + 1, cind, :2] - verts[t, cind, :2]
+            skate.append(float(np.linalg.norm(off, axis=1).mean() * 1000))
+        else:
+            skate.append(0.0)
+    return {"penetration": float(np.mean(pen)) if pen else 0.0,
+            "skate": float(np.mean(skate)) if skate else 0.0}
+
+
+def vertices_from_qpos(pred_qpos: np.ndarray, smpl_data, betas,
+                       root_offset) -> np.ndarray:
+    """(T, 76) qpos -> (T, V, 3) SMPL vertices via qpos_to_smpl + LBS —
+    the `pred_vertices` the reference's eval collects
+    (smpl_eval.py:113; agent_copycat.py:464 eval_seq vertices)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uhc_tpu.smpl.convert import qpos_to_smpl
+    from uhc_tpu.smpl.lbs import lbs
+
+    pose_aa, trans = qpos_to_smpl(jnp.asarray(pred_qpos),
+                                  jnp.asarray(root_offset))
+    betas = jnp.asarray(betas)
+    verts, _ = jax.vmap(lambda p, t: lbs(smpl_data, p, betas, t))(
+        pose_aa, trans)
+    return np.asarray(jax.device_get(verts))

@@ -396,3 +396,191 @@ def make_policy(cfg, state_dim, action_dim, key, dtype=jnp.float32,
                                       cfg.policy_hsize, cfg.log_std, dtype)
         fn = lambda p, x: policy_gaussian_mean(p, x, cfg.policy_htype)
     return params, fn
+
+
+# ---------------------------------------------------------------------------
+# NN-zoo remnants (uhc/khrylib/models): ERD, conditioned MLP, LSTM cell,
+# SimpleCNN, ResNet feature net, VideoStateNet. None are on the release
+# training path (SURVEY.md §2.3 "NN zoo"); provided for inventory parity
+# with the reference model zoo.
+# ---------------------------------------------------------------------------
+
+
+def lstm_init(key, in_dim: int, hidden_dim: int, dtype=jnp.float32):
+    """LSTM cell (khrylib/models/rnn.py 'lstm' cell type)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "wi": _linear_init(k1, in_dim + hidden_dim, 4 * hidden_dim,
+                           dtype=dtype),
+        "hdim": hidden_dim,
+    }
+
+
+def lstm_apply(params, x, state):
+    """One step. state = (h, c); returns (out, (h', c'))."""
+    h, c = state
+    hd = params["hdim"]
+    z = jnp.concatenate([x, h], axis=-1) @ params["wi"]["w"] \
+        + params["wi"]["b"]
+    i, f, g, o = (jax.nn.sigmoid(z[..., :hd]),
+                  jax.nn.sigmoid(z[..., hd:2 * hd]),
+                  jnp.tanh(z[..., 2 * hd:3 * hd]),
+                  jax.nn.sigmoid(z[..., 3 * hd:]))
+    c2 = f * c + i * g
+    h2 = o * jnp.tanh(c2)
+    return h2, (h2, c2)
+
+
+def erd_init(key, state_dim: int, dtype=jnp.float32):
+    """ERDNet (khrylib/models/erd_net.py:7): MLP(500) encoder -> linear ->
+    LSTM(1000) x2 -> MLP(500,100) decoder -> linear(state_dim)."""
+    ks = jax.random.split(key, 6)
+    return {
+        "enc_mlp": mlp_init(ks[0], state_dim, (500,), dtype),
+        "enc_lin": _linear_init(ks[1], 500, 500, dtype=dtype),
+        "lstm1": lstm_init(ks[2], 500, 1000, dtype),
+        "lstm2": lstm_init(ks[3], 1000, 1000, dtype),
+        "dec_mlp": mlp_init(ks[4], 1000, (500, 100), dtype),
+        "dec_lin": _linear_init(ks[5], 100, state_dim, dtype=dtype),
+    }
+
+
+def erd_apply(params, x_seq, state=None):
+    """(T, B, state_dim) -> (T, B, state_dim) (erd_net.py:27 forward,
+    'batch' mode). `state` optionally carries (h1,c1,h2,c2) across calls."""
+    T, B, _ = x_seq.shape
+    if state is None:
+        z = jnp.zeros((B, 1000), x_seq.dtype)
+        state = (z, z, z, z)
+
+    def enc(x):
+        e = mlp_apply(params["enc_mlp"], x, "relu")
+        return e @ params["enc_lin"]["w"] + params["enc_lin"]["b"]
+
+    def step(carry, x):
+        h1, c1, h2, c2 = carry
+        e = enc(x)
+        o1, (h1, c1) = lstm_apply(params["lstm1"], e, (h1, c1))
+        o2, (h2, c2) = lstm_apply(params["lstm2"], o1, (h2, c2))
+        return (h1, c1, h2, c2), o2
+
+    state, outs = jax.lax.scan(step, state, x_seq)
+    d = mlp_apply(params["dec_mlp"], outs, "relu")
+    return d @ params["dec_lin"]["w"] + params["dec_lin"]["b"], state
+
+
+def cmlp_init(key, input_dim: int, cond_dim: int, hidden=(128, 128),
+              dtype=jnp.float32):
+    """Conditioned MLP (khrylib/models/cmlp.py:5): every layer re-reads the
+    conditioning vector."""
+    ks = jax.random.split(key, len(hidden))
+    layers, last = [], input_dim
+    for k, nh in zip(ks, hidden):
+        layers.append(_linear_init(k, last + cond_dim, nh, dtype=dtype))
+        last = nh
+    return {"layers": layers}
+
+
+def cmlp_apply(params, c, x, activation: str = "tanh"):
+    act = {"tanh": jnp.tanh, "relu": jax.nn.relu,
+           "sigmoid": jax.nn.sigmoid}[activation]
+    for lin in params["layers"]:
+        x = jnp.concatenate([c, x], axis=-1)
+        x = act(x @ lin["w"] + lin["b"])
+    return x
+
+
+def _conv2d_init(key, cin, cout, ksize, dtype=jnp.float32):
+    scale = 1.0 / np.sqrt(cin * ksize * ksize)
+    k1, k2 = jax.random.split(key)
+    return {"w": jax.random.uniform(k1, (cout, cin, ksize, ksize),
+                                    dtype, -scale, scale),
+            "b": jax.random.uniform(k2, (cout,), dtype, -scale, scale)}
+
+
+def _conv2d(p, x, stride):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(stride, stride), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return y + p["b"][None, :, None, None]
+
+
+def simple_cnn_init(key, out_dim: int, dtype=jnp.float32):
+    """SimpleCNN (khrylib/models/simple_cnn.py:5): 3 stride-4 convs + fc,
+    224x224x3 input -> out_dim."""
+    ks = jax.random.split(key, 4)
+    return {
+        "c1": _conv2d_init(ks[0], 3, 32, 4, dtype),
+        "c2": _conv2d_init(ks[1], 32, 32, 4, dtype),
+        "c3": _conv2d_init(ks[2], 32, 16, 4, dtype),
+        "fc": _linear_init(ks[3], 144, out_dim, dtype=dtype),
+    }
+
+
+def simple_cnn_apply(params, x):
+    """x: (B, 3, 224, 224) -> (B, out_dim)."""
+    x = jax.nn.relu(_conv2d(params["c1"], x, 4))
+    x = jax.nn.relu(_conv2d(params["c2"], x, 4))
+    x = jax.nn.relu(_conv2d(params["c3"], x, 4))
+    x = x.reshape(x.shape[0], -1)
+    return x @ params["fc"]["w"] + params["fc"]["b"]
+
+
+def resnet_feat_init(key, out_dim: int, width: int = 32, blocks: int = 3,
+                     dtype=jnp.float32):
+    """Compact residual CNN feature extractor — the role of
+    khrylib/models/resnet.py (a torchvision-ResNet18 wrapper whose fc is
+    replaced): stride-2 stem, `blocks` residual conv blocks, global average
+    pool, linear head."""
+    ks = jax.random.split(key, 2 + 2 * blocks)
+    p = {"stem": _conv2d_init(ks[0], 3, width, 4, dtype), "blocks": []}
+    for b in range(blocks):
+        p["blocks"].append({
+            "a": _conv2d_init(ks[1 + 2 * b], width, width, 3, dtype),
+            "b": _conv2d_init(ks[2 + 2 * b], width, width, 3, dtype)})
+    p["fc"] = _linear_init(ks[-1], width, out_dim, dtype=dtype)
+    return p
+
+
+def resnet_feat_apply(params, x):
+    """x: (B, 3, H, W) -> (B, out_dim)."""
+    x = jax.nn.relu(_conv2d(params["stem"], x, 4))
+    for blk in params["blocks"]:
+        y = jax.lax.conv_general_dilated(
+            x, blk["a"]["w"], (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        y = jax.nn.relu(y + blk["a"]["b"][None, :, None, None])
+        y = jax.lax.conv_general_dilated(
+            y, blk["b"]["w"], (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        x = jax.nn.relu(x + y + blk["b"]["b"][None, :, None, None])
+    x = jnp.mean(x, axis=(2, 3))
+    return x @ params["fc"]["w"] + params["fc"]["b"]
+
+
+def video_state_net_init(key, cnn_feat_dim: int, v_hdim: int = 128,
+                         v_net_type: str = "gru", tcn_size=(64, 128),
+                         kernel_size: int = 3, dtype=jnp.float32):
+    """VideoStateNet (khrylib/models/video_state_net.py:7): temporal net
+    (GRU or TCN) over per-frame CNN features -> per-frame state feature."""
+    if v_net_type == "tcn":
+        return {"type": "tcn",
+                "net": tcn_init(key, cnn_feat_dim, tcn_size, kernel_size,
+                                dtype)}
+    return {"type": "gru", "hdim": v_hdim,
+            "net": gru_init(key, cnn_feat_dim, v_hdim, dtype)}
+
+
+def video_state_net_apply(params, feats, causal: bool = False):
+    """feats: (T, feat_dim) -> (T, v_hdim)."""
+    if params["type"] == "tcn":
+        y = tcn_apply(params["net"], feats.T[None], causal)   # (1, C, T)
+        return y[0].T
+    h0 = jnp.zeros((params["hdim"],), feats.dtype)
+
+    def step(h, x):
+        h2 = gru_apply(params["net"], x, h)
+        return h2, h2
+
+    _, outs = jax.lax.scan(step, h0, feats)
+    return outs

@@ -49,11 +49,18 @@ def make_rollout_fn(
     horizon: int,
     clip_obs: float = 5.0,
     use_fast_solver: bool = True,
+    fused_model: Model = None,
 ):
     """Build rollout(model, expert_lib, aux, params, log_std, rs, env_state,
     rng, noise_rate, rfc_rate, seq_logits) -> (env_state', rs', TrajBatch,
-    last_obs_norm)."""
-    env_step_batched = H.make_env_step_batched(topo, cfg, use_fast_solver)
+    last_obs_norm).
+
+    Pass `fused_model` (the static Model the rollout will simulate) to run
+    the physics through the fused Pallas control-step kernel when the config
+    allows it (humanoid_im.fused_compatible); incompatible configs and
+    per-sequence (batched) model libraries fall back to the XLA solver."""
+    env_step_batched = H.make_env_step_batched(topo, cfg, use_fast_solver,
+                                               fused_model=fused_model)
 
     def reset_like(model, expert_lib, aux, state: H.EnvState, rng, seq_logits):
         rng, k1, k2 = jax.random.split(rng, 3)

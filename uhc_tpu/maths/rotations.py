@@ -347,3 +347,21 @@ def qvel_fd(cur_qpos: jnp.ndarray, next_qpos: jnp.ndarray, dt) -> jnp.ndarray:
     rv = transform_vec(rv, cur_qpos[..., 3:7], "root")
     diff = wrap_to_pi(next_qpos[..., 7:] - cur_qpos[..., 7:])
     return jnp.concatenate([v, rv, diff / dt], axis=-1)
+
+
+def qvel_fd_ball(cur_qpos: jnp.ndarray, next_qpos: jnp.ndarray, dt) -> jnp.ndarray:
+    """Finite-difference generalized velocity for ball-joint qpos
+    (trans 3 + root quat 4 + nj joint quats): root part as `qvel_fd`;
+    joint part is the child-local angular velocity
+    rotvec(q_prevⁱⁿᵛ ⊗ q_next)/dt — the coordinates `quat_integrate`
+    advances, so fd velocities round-trip through the ball integrator."""
+    v = (next_qpos[..., :3] - cur_qpos[..., :3]) / dt
+    dq = quat_mul(next_qpos[..., 3:7], quat_inv(cur_qpos[..., 3:7]))
+    rv = quat_to_rotvec(dq) / dt
+    rv = transform_vec(rv, cur_qpos[..., 3:7], "root")
+    s = cur_qpos.shape
+    jq_c = cur_qpos[..., 7:].reshape(s[:-1] + (-1, 4))
+    jq_n = next_qpos[..., 7:].reshape(s[:-1] + (-1, 4))
+    dql = quat_mul(quat_inv(jq_c), jq_n)
+    w_local = (quat_to_rotvec(dql) / dt).reshape(s[:-1] + (-1,))
+    return jnp.concatenate([v, rv, w_local], axis=-1)

@@ -68,18 +68,25 @@ def fk(topo: Topology, model: Model, qpos: jnp.ndarray):
     nb = topo.nbody
     dtype = qpos.dtype
     root_q = quat_normalize(qpos[3:7])
+    ball = topo.joint_kind == "ball"
 
-    # vectorized per-joint partial quats: q_z, q_z⊗q_y, q_z⊗q_y⊗q_x
-    e = qpos[7:].reshape(nb - 1, 3) * 0.5
-    cz, sz = jnp.cos(e[:, 0]), jnp.sin(e[:, 0])
-    cy, sy = jnp.cos(e[:, 1]), jnp.sin(e[:, 1])
-    cx, sx = jnp.cos(e[:, 2]), jnp.sin(e[:, 2])
-    zero = jnp.zeros_like(cz)
-    q_z = jnp.stack([cz, zero, zero, sz], 1)
-    q_y = jnp.stack([cy, zero, sy, zero], 1)
-    q_x = jnp.stack([cx, sx, zero, zero], 1)
-    q_zy = quat_mul(q_z, q_y)
-    q_local = quat_mul(q_zy, q_x)
+    if ball:
+        # one quaternion per joint (SkeletonMeshV2 ball joints); dof order
+        # per joint is the (x, y, z) components of the child-local angular
+        # velocity, matching quat ⊗ exp(ω dt) integration
+        q_local = quat_normalize(qpos[7:].reshape(nb - 1, 4))
+    else:
+        # vectorized per-joint partial quats: q_z, q_z⊗q_y, q_z⊗q_y⊗q_x
+        e = qpos[7:].reshape(nb - 1, 3) * 0.5
+        cz, sz = jnp.cos(e[:, 0]), jnp.sin(e[:, 0])
+        cy, sy = jnp.cos(e[:, 1]), jnp.sin(e[:, 1])
+        cx, sx = jnp.cos(e[:, 2]), jnp.sin(e[:, 2])
+        zero = jnp.zeros_like(cz)
+        q_z = jnp.stack([cz, zero, zero, sz], 1)
+        q_y = jnp.stack([cy, zero, sy, zero], 1)
+        q_x = jnp.stack([cx, sx, zero, zero], 1)
+        q_zy = quat_mul(q_z, q_y)
+        q_local = quat_mul(q_zy, q_x)
 
     xpos = jnp.zeros((nb, 3), dtype).at[0].set(qpos[0:3])
     xquat = jnp.zeros((nb, 4), dtype).at[0].set(root_q)
@@ -92,15 +99,24 @@ def fk(topo: Topology, model: Model, qpos: jnp.ndarray):
 
     xipos = xpos + quat_rotate(xquat, model.body_ipos)
 
-    # per-dof world axes, vectorized over all joints:
-    # a_z in the parent frame, a_y after q_z, a_x after q_z⊗q_y
     eye = jnp.eye(3, dtype=dtype)
-    parents = jnp.asarray(topo.parents[1:])
-    qp_all = xquat[parents]                       # (nb-1, 4)
-    a_z = quat_rotate(qp_all, eye[2])
-    a_y = quat_rotate(quat_mul(qp_all, q_z), eye[1])
-    a_x = quat_rotate(quat_mul(qp_all, q_zy), eye[0])
-    joint_axes = jnp.stack([a_z, a_y, a_x], axis=1).reshape(-1, 3)
+    if ball:
+        # ball-joint motion subspace: the child body's world frame columns
+        # (ω_local expressed in the child frame, as MuJoCo integrates it)
+        jq_all = xquat[1:]
+        a_x = quat_rotate(jq_all, eye[0])
+        a_y = quat_rotate(jq_all, eye[1])
+        a_z = quat_rotate(jq_all, eye[2])
+        joint_axes = jnp.stack([a_x, a_y, a_z], axis=1).reshape(-1, 3)
+    else:
+        # per-dof world axes, vectorized over all joints:
+        # a_z in the parent frame, a_y after q_z, a_x after q_z⊗q_y
+        parents = jnp.asarray(topo.parents[1:])
+        qp_all = xquat[parents]                       # (nb-1, 4)
+        a_z = quat_rotate(qp_all, eye[2])
+        a_y = quat_rotate(quat_mul(qp_all, q_z), eye[1])
+        a_x = quat_rotate(quat_mul(qp_all, q_zy), eye[0])
+        joint_axes = jnp.stack([a_z, a_y, a_x], axis=1).reshape(-1, 3)
     R0 = quat_to_mat(root_q)
     axes = jnp.concatenate([eye, R0.T, joint_axes], axis=0)  # (nv, 3)
     anchors = xpos[topo.dof_body()]  # (nv, 3)
@@ -120,8 +136,12 @@ def velocities(topo: Topology, kin, qvel):
     xpos, xipos, axes = kin["xpos"], kin["xipos"], kin["axes"]
     dtype = qvel.dtype
 
-    jaxes = axes[6:].reshape(nb - 1, 3, 3)          # per joint: (z, y, x) axes
+    jaxes = axes[6:].reshape(nb - 1, 3, 3)          # per joint: 3 dof axes
     jdq = qvel[6:].reshape(nb - 1, 3)
+    ball = topo.joint_kind == "ball"
+    if ball:
+        # world joint angular velocity: Σ_k a_k ω_k (axes = child frame cols)
+        jw = jnp.einsum("jkc,jk->jc", jaxes, jdq)
 
     omega = jnp.zeros((nb, 3), dtype).at[0].set(
         axes[3] * qvel[3] + axes[4] * qvel[4] + axes[5] * qvel[5])
@@ -130,16 +150,23 @@ def velocities(topo: Topology, kin, qvel):
     a = jnp.zeros((nb, 3), dtype)
 
     for idx, par in topo.levels():
-        az, ay, ax = (jaxes[idx - 1, 0], jaxes[idx - 1, 1], jaxes[idx - 1, 2])
-        dz = jdq[idx - 1, 0:1]
-        dy = jdq[idx - 1, 1:2]
-        dx = jdq[idx - 1, 2:3]
         w0 = omega[par]
-        w1 = w0 + az * dz
-        w2 = w1 + ay * dy
-        wi = w2 + ax * dx
-        al = (alpha[par] + jnp.cross(w0, az) * dz + jnp.cross(w1, ay) * dy
-              + jnp.cross(w2, ax) * dx)
+        if ball:
+            # S rotates with the child frame: S˚q̇ = ω_parent × (S q̇)
+            wj = jw[idx - 1]
+            wi = w0 + wj
+            al = alpha[par] + jnp.cross(w0, wj)
+        else:
+            az, ay, ax = (jaxes[idx - 1, 0], jaxes[idx - 1, 1],
+                          jaxes[idx - 1, 2])
+            dz = jdq[idx - 1, 0:1]
+            dy = jdq[idx - 1, 1:2]
+            dx = jdq[idx - 1, 2:3]
+            w1 = w0 + az * dz
+            w2 = w1 + ay * dy
+            wi = w2 + ax * dx
+            al = (alpha[par] + jnp.cross(w0, az) * dz + jnp.cross(w1, ay) * dy
+                  + jnp.cross(w2, ax) * dx)
         d = xpos[idx] - xpos[par]
         vi = v[par] + jnp.cross(w0, d)
         ai = (a[par] + jnp.cross(alpha[par], d)
@@ -412,7 +439,14 @@ def limit_qfrc(model: Model, qpos, qvel, k: float = 500.0, d: float = 20.0):
 
     Returns (spring force (nv,), implicit per-dof damping diag (nv,)) — the
     damping joins the velocity-implicit system matrix so stiff limits stay
-    stable on armature-only dofs."""
+    stable on armature-only dofs.
+
+    Ball-joint topologies carry no joint ranges (SkeletonMeshV2 writes
+    unlimited ball joints) -> zero forces."""
+    nv = qvel.shape[0]
+    if qpos.shape[0] != nv + 1:                    # ball joints: no limits
+        z = jnp.zeros(nv, qpos.dtype)
+        return z, z
     q = qpos[7:]
     lo, hi = model.jnt_range[:, 0], model.jnt_range[:, 1]
     below = jnp.maximum(lo - q, 0.0)
@@ -448,12 +482,21 @@ def stable_pd_errors(model: Model, qpos, qvel, target_pos, kp, kd, C):
 
 
 def integrate(model: Model, qpos, qvel, qacc):
-    """Semi-implicit Euler with quaternion root integration (MuJoCo default)."""
+    """Semi-implicit Euler with quaternion root integration (MuJoCo default).
+
+    Ball-joint topologies (nq = 7 + 4·nj, inferred from the static shapes)
+    integrate every joint quaternion like the root: q ⊗ exp(ω_local·dt)."""
     dt = model.dt
     qvel_new = qvel + dt * qacc
     root_pos = qpos[0:3] + dt * qvel_new[0:3]
     root_quat = quat_integrate(qpos[3:7], qvel_new[3:6], dt)
-    joints = qpos[7:] + dt * qvel_new[6:]
+    nj = (qvel.shape[0] - 6) // 3
+    if qpos.shape[0] == 7 + 4 * nj and nj > 0:     # ball joints
+        jq = qpos[7:].reshape(nj, 4)
+        w = qvel_new[6:].reshape(nj, 3)
+        joints = quat_integrate(jq, w, dt).reshape(-1)
+    else:
+        joints = qpos[7:] + dt * qvel_new[6:]
     return jnp.concatenate([root_pos, root_quat, joints]), qvel_new
 
 
@@ -519,9 +562,17 @@ def assemble(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
     qfrc_damp = (-jnp.matmul(K.reshape(-1, nv).T, v6.reshape(-1),
                              precision=HI) - lim_damp * qvel)
 
-    pd_rhs, qpos_err, kd_full = stable_pd_errors(
-        model, qpos, qvel, target_pos, kp, kd, C)
-    A_pd = M + jnp.diag(kd_full) * model.dt
+    if topo.joint_kind == "ball":
+        # ball family drives joints with direct torques (action_type
+        # "torque", humanoid_im.py:1158) — no stable-PD system
+        nv_ = topo.nv
+        pd_rhs = jnp.zeros(nv_, qpos.dtype)
+        qpos_err = jnp.zeros(nv_, qpos.dtype)
+        A_pd = M
+    else:
+        pd_rhs, qpos_err, kd_full = stable_pd_errors(
+            model, qpos, qvel, target_pos, kp, kd, C)
+        A_pd = M + jnp.diag(kd_full) * model.dt
     A_fd = M + model.dt * (CD + jnp.diag(lim_damp))
 
     rhs_base = qfrc_applied + qfrc_con + qfrc_lim + qfrc_damp - C
@@ -539,6 +590,24 @@ def assemble(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
                                + jnp.einsum("naj,na->j", Jang, T, precision=HI))
     return dict(A_pd=A_pd, A_fd=A_fd, pd_rhs=pd_rhs, qpos_err=qpos_err,
                 rhs_base=rhs_base)
+
+
+def substep_torque(topo: Topology, model: Model, qpos, qvel, tau,
+                   qfrc_applied, vf_body=None, vf_gate=None,
+                   self_collision: bool = False):
+    """One 450 Hz substep with direct joint torques (action_type "torque",
+    humanoid_im.py:1158: τ = ctrl·a_scale·100, no stable-PD) — the control
+    mode of the ball-joint family (config/copycat_ball). One SPD solve."""
+    from uhc_tpu.physics import linalg as LA
+
+    out = assemble(topo, model, qpos, qvel, jnp.zeros(topo.ndof, qpos.dtype),
+                   model.jkp, model.jkd, qfrc_applied, vf_body, vf_gate,
+                   self_collision)
+    rhs = out["rhs_base"] + jnp.concatenate([jnp.zeros(6, qpos.dtype), tau])
+    LL = LA.blocked_cholesky(out["A_fd"])
+    qacc = LA.blocked_cho_solve(LL, rhs)
+    qpos_n, qvel_n = integrate(model, qpos, qvel, qacc)
+    return qpos_n, qvel_n, tau
 
 
 def pd_torque_from_accel(model: Model, qvel, qpos_err, kp, kd, qacc_des):

@@ -33,6 +33,12 @@ class Topology:
     nbody: int
     parents: tuple  # len nbody, -1 for root
     body_names: tuple
+    # "euler": 3 sequential z-y-x hinges per joint (qpos euler triples) —
+    # the canonical SMPL humanoid. "ball": one quaternion per joint
+    # (reference robot.ball=True family, SkeletonMeshV2
+    # uhc/khrylib/mocap/skeleton_mesh_v2.py:258; nv is identical, only the
+    # position representation differs).
+    joint_kind: str = "euler"
 
     @property
     def nv(self) -> int:
@@ -40,7 +46,8 @@ class Topology:
 
     @property
     def nq(self) -> int:
-        return 7 + 3 * (self.nbody - 1)
+        per = 4 if self.joint_kind == "ball" else 3
+        return 7 + per * (self.nbody - 1)
 
     @property
     def ndof(self) -> int:

@@ -259,7 +259,8 @@ def _pcg(A, b, X, iters):
 
 def make_fused_do_simulation(topo: Topology, cfg, model: Model,
                              env_tile: int = 8, pcg_iters: int = 3,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             vmem_limit_mb: int = 100):
     """Build the fused control-step function.
 
     Returns fn(qpos (B,nq), qvel (B,nv), actions (B,act), target_base
@@ -848,6 +849,11 @@ def make_fused_do_simulation(topo: Topology, cfg, model: Model,
         out_specs = [pl.BlockSpec((E, w), lambda g: (g, 0),
                                   memory_space=pltpu.VMEM)
                      for w in out_widths]
+        # the default scoped-VMEM budget (~16 MB) is a compiler default, not
+        # the v5e hardware limit (128 MB) — raising it is what allows env
+        # tiles beyond E=8 to schedule
+        cparams = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
         outs = pl.pallas_call(
             kernel,
             grid=(Bp // E,),
@@ -855,6 +861,7 @@ def make_fused_do_simulation(topo: Topology, cfg, model: Model,
             out_specs=out_specs,
             out_shape=[jax.ShapeDtypeStruct((Bp, w), dtype)
                        for w in out_widths],
+            compiler_params=cparams,
             interpret=interpret,
         )(*args)
         root_o, jz_o, jy_o, jx_o, vz_o, vy_o, vx_o = [o[:B] for o in outs]

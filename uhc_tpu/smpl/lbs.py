@@ -67,18 +67,65 @@ def load_smpl_data(path: str, n_betas: int = 16) -> SMPLData:
     )
 
 
-def synthetic_smpl_data(rng_seed: int = 0, V: int = 512, n_betas: int = 16):
-    """Synthetic stand-in with SMPL's shapes, for tests without model files."""
+def load_smplh_data(path: str, n_betas: int = 16) -> SMPLData:
+    """Load a SMPL-H (52-joint) or SMPL-X (55-joint) model file into
+    SMPLData, keeping the full hand/face joint set.
+
+    The analogue of `load_smpl_data` for the extended families (reference
+    SMPLH_Parser/SMPLX_Parser, uhc/smpllib/smpl_parser.py:464,579). The
+    joint count is taken from the file's J_regressor row count (52 for
+    SMPL-H, 55 for SMPL-X articulated bodies; extra SMPL-X rows past 55 are
+    surface landmarks and dropped)."""
+    if path.endswith(".npz"):
+        d = dict(np.load(path, allow_pickle=True))
+    else:
+        with open(path, "rb") as f:
+            d = pickle.load(f, encoding="latin1")
+    jr = np.asarray(d["J_regressor"].todense()
+                    if hasattr(d["J_regressor"], "todense")
+                    else d["J_regressor"])
+    nj = min(jr.shape[0], 55)
+    if nj not in (52, 55):
+        raise ValueError(f"expected a 52/55-joint SMPL-H/X model, got {nj}")
+    sd = np.asarray(d["shapedirs"])[:, :, :n_betas]
+    return SMPLData(
+        v_template=jnp.asarray(np.asarray(d["v_template"]), jnp.float32),
+        shapedirs=jnp.asarray(sd, jnp.float32),
+        j_regressor=jnp.asarray(jr[:nj], jnp.float32),
+        weights=jnp.asarray(np.asarray(d["weights"])[:, :nj], jnp.float32),
+    )
+
+
+def synthetic_smpl_data(rng_seed: int = 0, V: int = 512, n_betas: int = 16,
+                        nj: int = 24):
+    """Synthetic stand-in with SMPL's shapes, for tests without model files.
+
+    nj=52/55 produces SMPL-H/X-shaped data (52/55-joint regressor + skin
+    weights) so the extended-family loaders/LBS are testable without the
+    non-redistributable model files."""
     rng = np.random.default_rng(rng_seed)
     v = rng.normal(scale=0.3, size=(V, 3)).astype(np.float32)
     v[:, 2] += 0.3
     sd = rng.normal(scale=0.01, size=(V, 3, n_betas)).astype(np.float32)
-    jr = np.abs(rng.normal(size=(24, V))).astype(np.float32)
+    jr = np.abs(rng.normal(size=(nj, V))).astype(np.float32)
     jr /= jr.sum(1, keepdims=True)
-    w = np.abs(rng.normal(size=(V, 24))).astype(np.float32)
+    w = np.abs(rng.normal(size=(V, nj))).astype(np.float32)
     w /= w.sum(1, keepdims=True)
     return SMPLData(jnp.asarray(v), jnp.asarray(sd), jnp.asarray(jr),
                     jnp.asarray(w))
+
+
+def _parents_for(nj: int) -> np.ndarray:
+    """Native-order kinematic parents for a joint count (24/52/55)."""
+    if nj == 24:
+        return SMPL_PARENTS
+    if nj == 52:
+        from uhc_tpu.smpl.smplh import SMPLH_PARENTS
+        return SMPLH_PARENTS
+    if nj == 55:
+        from uhc_tpu.smpl.smplh import SMPLX_PARENTS
+        return SMPLX_PARENTS
+    raise ValueError(f"unsupported joint count {nj}")
 
 
 def shaped_vertices(data: SMPLData, betas: jnp.ndarray) -> jnp.ndarray:
@@ -89,7 +136,8 @@ def shaped_vertices(data: SMPLData, betas: jnp.ndarray) -> jnp.ndarray:
 
 
 def shaped_joints(data: SMPLData, betas: jnp.ndarray) -> jnp.ndarray:
-    """(24, 3) zero-pose joint locations in SMPL bone order."""
+    """(nj, 3) zero-pose joint locations in native bone order (nj = 24 for
+    SMPL, 52 for SMPL-H, 55 for SMPL-X)."""
     return data.j_regressor @ shaped_vertices(data, betas)
 
 
@@ -97,20 +145,23 @@ def lbs(data: SMPLData, pose_aa: jnp.ndarray, betas: jnp.ndarray,
         trans: Optional[jnp.ndarray] = None):
     """Linear blend skinning.
 
-    pose_aa: (24, 3) axis-angle in SMPL bone order; betas: (n_betas,);
-    trans: (3,). Returns (vertices (V,3), joints (24,3)) in world space —
+    pose_aa: (nj, 3) axis-angle in native bone order (nj inferred from the
+    model data: 24 SMPL / 52 SMPL-H / 55 SMPL-X); betas: (n_betas,);
+    trans: (3,). Returns (vertices (V,3), joints (nj,3)) in world space —
     the `get_joints_verts` equivalent (smpl_parser.py:335)."""
     verts0 = shaped_vertices(data, betas)
     joints0 = data.j_regressor @ verts0
+    nj = data.j_regressor.shape[0]
+    parents = _parents_for(nj)
 
-    quats = quat_from_rotvec(pose_aa)        # (24,4) local rotations
-    # accumulate global joint transforms down the SMPL tree
-    gquat = [None] * 24
-    gpos = [None] * 24
+    quats = quat_from_rotvec(pose_aa)        # (nj,4) local rotations
+    # accumulate global joint transforms down the native tree
+    gquat = [None] * nj
+    gpos = [None] * nj
     gquat[0] = quats[0]
     gpos[0] = joints0[0]
-    for i in range(1, 24):
-        p = int(SMPL_PARENTS[i])
+    for i in range(1, nj):
+        p = int(parents[i])
         gquat[i] = quat_mul(gquat[p], quats[i])
         gpos[i] = gpos[p] + quat_rotate(gquat[p], joints0[i] - joints0[p])
     gquat = jnp.stack(gquat)
@@ -131,6 +182,30 @@ def vertex_body_assignment(data: SMPLData) -> np.ndarray:
     order (smpl_robot.py:83 builds per-bone geometries this way)."""
     a = np.argmax(np.asarray(data.weights), axis=1)  # SMPL joint index
     return np.asarray(MUJOCO_2_SMPL)[a].astype(np.int32)
+
+
+def smplh_offsets_from_betas(data: SMPLData, betas: jnp.ndarray):
+    """Exact per-body local offsets for the SMPL-H/X families from real
+    model data: {body_name: (3,) offset} over ALL non-root bodies + the
+    root joint position — the 52/55-joint analogue of
+    `mujoco_offsets_from_betas` (reference SMPLH_Parser.get_mesh_offsets,
+    smpl_parser.py:530-577). Feed the dict to `smpl.smplh.smplh_model` /
+    `smplx_model` (their `finger_offsets` argument accepts any body name)."""
+    nj = int(data.j_regressor.shape[0])
+    if nj == 52:
+        from uhc_tpu.smpl.smplh import SMPLH_BONE_ORDER_NAMES as NAMES
+        from uhc_tpu.smpl.smplh import SMPLH_PARENTS as PARENTS
+    elif nj == 55:
+        from uhc_tpu.smpl.smplh import SMPLX_BONE_ORDER_NAMES as NAMES
+        from uhc_tpu.smpl.smplh import SMPLX_PARENTS as PARENTS
+    else:
+        raise ValueError(f"expected 52/55-joint data, got {nj}")
+    joints = np.asarray(shaped_joints(data, betas))      # native order
+    offsets = {}
+    for i in range(1, nj):
+        offsets[NAMES[i]] = (joints[i] - joints[int(PARENTS[i])]).astype(
+            np.float32)
+    return offsets, joints[0].astype(np.float32)
 
 
 def mujoco_offsets_from_betas(data: SMPLData, betas: jnp.ndarray):

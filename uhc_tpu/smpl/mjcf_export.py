@@ -35,8 +35,16 @@ def _fmt(a) -> str:
 
 def export_mjcf(topo: Topology, model: Model, name: str = "humanoid",
                 contact_radius: float = 0.012, floor: bool = True,
-                actuators: bool = True) -> str:
-    """Serialize (topo, model) to a local-coordinate MJCF string."""
+                actuators: bool = True,
+                self_collision: bool = False) -> str:
+    """Serialize (topo, model) to a local-coordinate MJCF string.
+
+    With `self_collision=True`, the engine's SC spheres (model.sc_point /
+    sc_radius) are emitted as contype=0 geoms wired into explicit
+    <contact><pair> elements over the curated body-pair set
+    (smpl.constants.self_collision_pairs) — so CPU MuJoCo simulates EXACTLY
+    the engine's body-body contact candidates (the oracle for calibrating
+    engine.self_collision_terms k/d)."""
     m = {f: np.asarray(getattr(model, f)) for f in (
         "body_pos", "body_ipos", "body_mass", "body_inertia", "body_iquat",
         "armature", "jnt_range", "contact_point", "contact_mask")}
@@ -75,6 +83,11 @@ def export_mjcf(topo: Topology, model: Model, name: str = "humanoid",
           f'diaginertia="{_fmt(m["body_inertia"][i])}"/>\n')
         if i == 0:
             w(f'{indent}  <freejoint name="root"/>\n')
+        elif topo.joint_kind == "ball":
+            # quaternion joint family (SkeletonMeshV2: unlimited ball joint)
+            w(f'{indent}  <joint name="{topo.body_names[i]}" type="ball" '
+              f'limited="false" '
+              f'armature="{float(arm[6 + 3 * (i - 1)]):.8g}"/>\n')
         else:
             base = 3 * (i - 1)
             axes = ("0 0 1", "0 1 0", "1 0 0")
@@ -91,12 +104,31 @@ def export_mjcf(topo: Topology, model: Model, name: str = "humanoid",
                 w(f'{indent}  <geom name="{topo.body_names[i]}_c{k}" '
                   f'type="sphere" size="{contact_radius:g}" '
                   f'pos="{_fmt(cp[k])}"/>\n')
+        if self_collision:
+            scp = np.asarray(model.sc_point)[i]
+            scr = float(np.asarray(model.sc_radius)[i])
+            for k in range(scp.shape[0]):
+                w(f'{indent}  <geom name="{topo.body_names[i]}_s{k}" '
+                  f'type="sphere" size="{scr:g}" pos="{_fmt(scp[k])}" '
+                  'contype="0" conaffinity="0"/>\n')
         for c in children[i]:
             emit(c, indent + "  ")
         w(f'{indent}</body>\n')
 
     emit(0, "    ")
     w('  </worldbody>\n')
+    if self_collision:
+        from uhc_tpu.smpl.constants import self_collision_pairs
+        SC = np.asarray(model.sc_point).shape[1]
+        w('  <contact>\n')
+        for a, b in self_collision_pairs(topo):
+            for ka in range(SC):
+                for kb in range(SC):
+                    w(f'    <pair geom1="{topo.body_names[a]}_s{ka}" '
+                      f'geom2="{topo.body_names[b]}_s{kb}" condim="1"/>\n')
+        w('  </contact>\n')
+    if actuators and topo.joint_kind == "ball":
+        actuators = False          # ball family is torque-driven externally
     if actuators:
         w('  <actuator>\n')
         a_scale = np.asarray(model.a_scale)

@@ -76,3 +76,89 @@ def batched_models(topo: Topology, base_model: Model, data: SMPLData,
     fn = jax.vmap(lambda b: model_from_betas(topo, base_model, data, b,
                                              assignment))
     return fn(jnp.asarray(betas_batch))
+
+
+def rel_joint_ranges(topo: Topology, base_model: Model) -> jnp.ndarray:
+    """Anatomical knee/ankle/toe joint-range overrides for shaped robots
+    (reference rel_joint_lm, uhc/smpllib/smpl_robot.py:1087-1110): knees
+    hinge one way (±π/16 off-axis, [-π/16, π] flexion), ankles ±π/2, toes
+    ±π/4 (±π/2 flexion). Dof order per joint is (z, y, x); the reference's
+    per-joint rows [0..2] map to the same triple."""
+    jr = np.array(np.asarray(base_model.jnt_range), np.float32).copy()
+    names = list(topo.body_names)
+    table = {
+        "Knee": [(-np.pi / 16, np.pi / 16), (-np.pi / 16, np.pi / 16),
+                 (-np.pi / 16, np.pi)],
+        "Ankle": [(-np.pi / 2, np.pi / 2)] * 3,
+        "Toe": [(-np.pi / 4, np.pi / 4), (-np.pi / 4, np.pi / 4),
+                (-np.pi / 2, np.pi / 2)],
+    }
+    for part, rows in table.items():
+        for side in ("L", "R"):
+            n = f"{side}_{part}"
+            if n not in names:
+                continue
+            base = 3 * (names.index(n) - 1)
+            for k in range(3):
+                jr[base + k] = rows[k]
+    return jnp.asarray(jr)
+
+
+def model_from_betas_exact(topo: Topology, base_model: Model, data: SMPLData,
+                           betas, assignment: np.ndarray,
+                           density: float = 1000.0,
+                           rel_joint_lm: bool = True) -> Model:
+    """Host-side shaped model with EXACT per-body hull mass properties.
+
+    Where `model_from_betas` scales the neutral body's mass/inertia by
+    s³/s⁵ heuristics, this builds each body's convex hull from its assigned
+    shaped vertices (argmax skin weight, smpl_robot.py:83) and integrates
+    exact mass/COM/inertia with the Mirtich divergence-theorem integrals
+    (smpl.mesh.mesh_mass_properties) — the same computation MuJoCo performs
+    on the reference's hull geoms. Runs once per shape at library-build
+    time (uses Qhull), not inside jit."""
+    from scipy.spatial import ConvexHull
+
+    from uhc_tpu.smpl.constants import SMPL_2_MUJOCO
+    from uhc_tpu.smpl.lbs import shaped_joints
+    from uhc_tpu.smpl.mesh import mesh_mass_properties, principal_inertia
+
+    m = model_from_betas(topo, base_model, data, betas, assignment)
+    if rel_joint_lm:
+        m = dataclasses.replace(m, jnt_range=rel_joint_ranges(topo, m))
+
+    verts = np.asarray(shaped_vertices(data, jnp.asarray(betas)))
+    joints = np.asarray(shaped_joints(data, jnp.asarray(betas)))[
+        np.asarray(SMPL_2_MUJOCO)]
+    nb = topo.nbody
+    mass = np.array(np.asarray(m.body_mass), np.float32)
+    ipos = np.array(np.asarray(m.body_ipos), np.float32)
+    iner = np.array(np.asarray(m.body_inertia), np.float32)
+    iquat = np.array(np.asarray(m.body_iquat), np.float32)
+    for b in range(nb):
+        pts = verts[np.asarray(assignment) == b] - joints[b]
+        if len(pts) < 8:
+            continue
+        try:
+            hull = ConvexHull(pts)
+        except Exception:
+            continue
+        tris = pts[hull.simplices]
+        # outward-orient each triangle against the hull centroid
+        cen = pts[hull.vertices].mean(0)
+        n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        flip = np.einsum("ij,ij->i", n, tris[:, 0] - cen) < 0
+        tris[flip] = tris[flip][:, [0, 2, 1]]
+        mm, com, I = mesh_mass_properties(tris, density)
+        if mm <= 0 or not np.all(np.isfinite(I)):
+            continue
+        diag, q = principal_inertia(I)
+        if np.any(diag <= 0):
+            continue
+        mass[b] = mm
+        ipos[b] = com
+        iner[b] = diag
+        iquat[b] = q
+    return dataclasses.replace(
+        m, body_mass=jnp.asarray(mass), body_ipos=jnp.asarray(ipos),
+        body_inertia=jnp.asarray(iner), body_iquat=jnp.asarray(iquat))

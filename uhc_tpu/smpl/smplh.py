@@ -138,7 +138,10 @@ def smplh_model(topo24: Topology, base_model: Model,
     for i, name in enumerate(topo.body_names):
         if name in names24:
             j = names24.index(name)
-            body_pos[i] = bp24[j]
+            # exact SMPL-H offsets (lbs.smplh_offsets_from_betas) override
+            # the base-model copy when provided
+            body_pos[i] = np.asarray(finger_offsets[name], np.float32) \
+                if name in finger_offsets else bp24[j]
             body_ipos[i] = np.asarray(base_model.body_ipos)[j]
             body_mass[i] = np.asarray(base_model.body_mass)[j]
             body_inertia[i] = np.asarray(base_model.body_inertia)[j]
@@ -205,6 +208,39 @@ def smplh_model(topo24: Topology, base_model: Model,
         a_scale=np.asarray(a_scale, np.float32),
         jnt_range=jnt_range, contact_point=cpoints, contact_mask=cmask,
         sc_point=sc_point, sc_radius=sc_radius)
+
+
+def smplh_model_from_data(topo24: Topology, base_model: Model, smplh_data,
+                          betas=None) -> Model:
+    """52-body Model with EXACT joint offsets from real SMPL-H model data
+    (lbs.load_smplh_data) — the path the reference takes through
+    SMPLH_Parser.get_mesh_offsets -> Robot.load_from_skeleton
+    (smpl_parser.py:464; smpl_robot.py:1018). With no real data present,
+    callers fall back to `smplh_model`'s anthropometric defaults."""
+    import jax.numpy as jnp
+
+    from uhc_tpu.smpl.lbs import smplh_offsets_from_betas
+
+    if betas is None:
+        n_b = int(np.asarray(smplh_data.shapedirs).shape[-1])
+        betas = jnp.zeros((n_b,), jnp.float32)
+    offsets, _root = smplh_offsets_from_betas(smplh_data, betas)
+    return smplh_model(topo24, base_model, finger_offsets=offsets)
+
+
+def smplx_model_from_data(topo24: Topology, base_model: Model, smplx_data,
+                          betas=None) -> Model:
+    """55-body SMPL-X twin of `smplh_model_from_data`
+    (SMPLX_Parser.get_mesh_offsets, smpl_parser.py:579)."""
+    import jax.numpy as jnp
+
+    from uhc_tpu.smpl.lbs import smplh_offsets_from_betas
+
+    if betas is None:
+        n_b = int(np.asarray(smplx_data.shapedirs).shape[-1])
+        betas = jnp.zeros((n_b,), jnp.float32)
+    offsets, _root = smplh_offsets_from_betas(smplx_data, betas)
+    return smplx_model(topo24, base_model, finger_offsets=offsets)
 
 
 def smplh_to_qpose(pose_aa, root_offset, trans=None, count_offset=True):
@@ -343,7 +379,10 @@ def smplx_model(topo24: Topology, base_model: Model,
                 a_sc += list(np.asarray(m52.a_scale)[s:s + 3])
                 jnt_range += list(np.asarray(m52.jnt_range)[s:s + 3])
         else:  # face micro-body
-            out["body_pos"][i] = _FACE_OFFSETS[name]
+            out["body_pos"][i] = (
+                np.asarray(finger_offsets[name], np.float32)
+                if finger_offsets and name in finger_offsets
+                else _FACE_OFFSETS[name])
             out["body_iquat"][i] = [1, 0, 0, 0]
             out["body_mass"][i] = 0.05
             out["body_inertia"][i] = 5e-6

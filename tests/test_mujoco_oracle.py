@@ -179,3 +179,63 @@ def test_standing_contact_bounded_divergence(oracle):
         f"root height divergence {abs(float(qp[2]) - d.qpos[2])}"
     joint_rms = float(np.sqrt(np.mean((np.asarray(qp)[7:] - d.qpos[7:])**2)))
     assert joint_rms < 0.25, f"joint rms divergence {joint_rms}"
+
+
+@pytest.mark.slow
+def test_walking_clip_bounded_divergence(oracle):
+    """Dynamic contact-rich oracle (VERDICT r2 item 2): both simulators
+    track the scripted walk with stable-PD targets; engine-vs-MuJoCo
+    divergence must stay within centimeters through 2 s of foot strikes
+    (full table in PARITY.md via tools/parity_report.py)."""
+    import os
+
+    import joblib
+
+    gait = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "sample_data", "gait_clips.pkl")
+    if not os.path.exists(gait):
+        pytest.skip("no gait clips")
+    from uhc_tpu.physics import engine as E
+    from uhc_tpu.smpl.convert import smpl_to_qpose
+
+    topo, modelj, m = oracle
+    clip = joblib.load(gait)["0-SYN_walk_forward"]
+    qpos_seq = np.asarray(jax.device_get(smpl_to_qpose(
+        clip["pose_aa"], np.asarray(modelj.body_pos)[0],
+        clip["trans"]))).astype(np.float64)
+
+    d = mujoco.MjData(m)
+    d.qpos[:] = qpos_seq[0]
+    d.qvel[:] = 0.0
+    kp = jnp.asarray(np.asarray(modelj.jkp))
+    kd = jnp.asarray(np.asarray(modelj.jkd))
+    z75 = jnp.zeros(topo.nv, jnp.float64)
+    sub = jax.jit(lambda qp, qv, tgt: E.substep(
+        topo, modelj, qp, qv, tgt, kp, kd, z75)[:2])
+    M_buf = np.zeros((m.nv, m.nv))
+    dtf = float(np.asarray(modelj.dt))
+    kpf = np.concatenate([np.zeros(6), np.asarray(kp)])
+    kdf = np.concatenate([np.zeros(6), np.asarray(kd)])
+    tql = np.asarray(modelj.torque_lim)
+
+    qp, qv = jnp.asarray(qpos_seq[0]), jnp.zeros(topo.nv, jnp.float64)
+    for t in range(1, 61):                      # 2 s
+        tgt = qpos_seq[t][7:]
+        tgt_j = jnp.asarray(tgt)
+        for _ in range(15):
+            mujoco.mj_forward(m, d)
+            mujoco.mj_fullM(m, d, M_buf)
+            err = d.qpos[7:] + d.qvel[6:] * dtf - tgt
+            err -= 2 * np.pi * np.round(err / (2 * np.pi))
+            e = np.concatenate([np.zeros(6), err])
+            qacc = np.linalg.solve(M_buf + np.diag(kdf) * dtf,
+                                   -d.qfrc_bias - kpf * e - kdf * d.qvel)
+            d.ctrl[:] = np.clip(
+                -np.asarray(kp) * e[6:]
+                - np.asarray(kd) * (d.qvel[6:] + qacc[6:] * dtf), -tql, tql)
+            mujoco.mj_step(m, d)
+            qp, qv = sub(qp, qv, tgt_j)
+    dxy = float(np.linalg.norm(np.asarray(qp)[:2] - d.qpos[:2]))
+    jrms = float(np.sqrt(np.mean((np.asarray(qp)[7:] - d.qpos[7:])**2)))
+    assert dxy < 0.15, f"root-xy diverged {dxy:.3f} m over 2 s of walking"
+    assert jrms < 0.08, f"joint RMS diverged {jrms:.3f} rad"

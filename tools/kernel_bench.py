@@ -32,7 +32,7 @@ NEUTRAL = "/root/reference/sample_data/standing_neutral.pkl"
 
 
 def parse_cfg(s):
-    out = {"E": 8, "PCG": 3, "V": 100}
+    out = {"E": 8, "PCG": 3, "V": 100, "SPLIT": 0, "TAIL": 16, "SC": 0, "BF16": 0}
     for kv in s.split(","):
         k, v = kv.split("=")
         out[k.upper()] = int(v)
@@ -56,7 +56,7 @@ def main():
     model = model_to_dtype(model, jnp.float32)
     seqs = load_motion_file(NEUTRAL)
     lib, _ = build_expert_library(topo, model, seqs)
-    env_cfg = EnvConfig()
+    env_cfg = EnvConfig(self_collision=False)   # SC=1 flips it per config
     ndof, vf, meta = H.action_dims(topo, env_cfg)
 
     rng = jax.random.PRNGKey(0)
@@ -66,12 +66,16 @@ def main():
     tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
 
     for c in cfgs:
-        label = f"E={c['E']},PCG={c['PCG']},V={c['V']}"
+        label = ",".join(f"{k}={v}" for k, v in c.items())
         try:
+            cfg_i = (env_cfg if not c["SC"]
+                     else __import__("dataclasses").replace(
+                         env_cfg, self_collision=True))
             t0 = time.perf_counter()
             fused = make_fused_do_simulation(
-                topo, env_cfg, model, env_tile=c["E"], pcg_iters=c["PCG"],
-                vmem_limit_mb=c["V"])
+                topo, cfg_i, model, env_tile=c["E"], pcg_iters=c["PCG"],
+                vmem_limit_mb=c["V"], split=bool(c["SPLIT"]),
+                tail_tile=c["TAIL"], precond_bf16=bool(c["BF16"]))
 
             @jax.jit
             def run(qp, qv):

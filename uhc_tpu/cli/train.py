@@ -36,6 +36,9 @@ def main():
                    help="frozen copycat checkpoint for --agent uhm")
     p.add_argument("--results-dir", default=None,
                    help="override results/<cfg_id> output directory")
+    p.add_argument("--robot-model", default=None, choices=("smpl", "smplh"),
+                   help="override cfg robot.model (e.g. force the SMPL-H "
+                        "52-body family on configs that lack the key)")
     p.add_argument("--smpl-data", default=None,
                    help="SMPL model pkl/npz for shape-conditioned training")
     args = p.parse_args()
@@ -51,6 +54,11 @@ def main():
         cfg = Config.from_yaml(args.cfg)
     except FileNotFoundError:
         cfg = Config(cfg_id=args.cfg)
+    if args.robot_model is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, env=dataclasses.replace(cfg.env,
+                                         robot_model=args.robot_model))
 
     mesh = None
     if args.data_parallel and len(jax.devices()) > 1:

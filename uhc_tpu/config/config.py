@@ -56,9 +56,12 @@ class EnvConfig:
     meta_pd: bool = True
     meta_pd_joint: bool = False
     # body-body contacts over the curated pair set (engine
-    # self_collision_terms); MuJoCo collides these by default — off here by
-    # default to keep round-1 training behavior until calibrated
-    self_collision: bool = False
+    # self_collision_terms, calibrated against CPU MuJoCo in
+    # tests/test_self_collision_oracle.py). ON by default to match the
+    # reference: MuJoCo collides all humanoid geoms in one
+    # contype/conaffinity group (smpl_parser.py:315-329); the fused kernel
+    # covers it in-kernel.
+    self_collision: bool = True
     t_min: int = 15      # data_specs window bounds (dataset_amass_single.py)
     t_max: int = 300
     # robot family: "smpl" (24 bodies) or "smplh" (52, articulated hands)
@@ -204,7 +207,7 @@ class Config:
             rfc_decay=d.get("rfc_decay", False),
             meta_pd=d.get("meta_pd", False),
             meta_pd_joint=d.get("meta_pd_joint", False),
-            self_collision=d.get("self_collision", False),
+            self_collision=d.get("self_collision", True),
             t_min=d.get("data_specs", {}).get("t_min", 15),
             t_max=d.get("data_specs", {}).get("t_max", 300),
             robot_model=d.get("robot", {}).get("model", "smpl"),

@@ -814,11 +814,11 @@ def env_step(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
 
 def fused_compatible(cfg: EnvConfig) -> bool:
     """Whether the fused Pallas control-step kernel covers this config
-    (physics.pallas_substep; implicit/no RFC, no per-joint meta-PD, no
-    self-collision)."""
+    (physics.pallas_substep; implicit/no RFC, no per-joint meta-PD;
+    self-collision is supported in-kernel)."""
     return ((not cfg.residual_force
              or cfg.residual_force_mode == "implicit")
-            and not cfg.meta_pd_joint and not cfg.self_collision
+            and not cfg.meta_pd_joint
             and cfg.action_type != "torque")
 
 
@@ -847,8 +847,12 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
     if fused_model is not None:
         from uhc_tpu.physics.pallas_substep import make_fused_do_simulation
 
+        # head/tail split with a 16-env tail tile: the measured-best
+        # configuration (PERF.md round-3 table; the one-program kernel
+        # cannot compile past E=8)
         fast_sim = make_fused_do_simulation(topo, cfg, fused_model,
-                                            pcg_iters=fused_pcg_iters)
+                                            pcg_iters=fused_pcg_iters,
+                                            split=True, tail_tile=16)
         fast_sim_takes_model = False
     elif use_fast_solver:
         from uhc_tpu.physics.solver import make_do_simulation

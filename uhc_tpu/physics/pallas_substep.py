@@ -19,9 +19,19 @@ the substep-0 exact inverses come from an in-kernel blocked Cholesky +
 triangular inverse; substeps then solve by preconditioned CG exactly like
 uhc_tpu.physics.solver.
 
-Scope (v1): implicit residual forces, shared (non per-env) model — the
-flagship uhc_implicit family. Other configs fall back to the XLA path.
-Model arrays are baked as compile-time constants at factory time.
+Scope: implicit (or no) residual forces, shared (non per-env) model, plain
+or meta-PD gains, with or without self-collision (the curated sphere-pair
+contacts run in-kernel as lane-packed combo lanes) — the flagship
+uhc_implicit family incl. the MuJoCo-matching self_collision default.
+meta_pd_joint / explicit RFC / per-env shaped models fall back to the XLA
+path. Model arrays are baked as compile-time constants at factory time.
+
+Split mode (`split=True`): substep 0 (with the in-kernel blocked-Cholesky
+exact inverses) runs as its own "head" program at env_tile, and substeps
+1..14 run as a "tail" program free of the Cholesky code — the Mosaic
+compile-time/VMEM driver — so the tail can use a larger tile
+(`tail_tile`). Xp/Xf round-trip HBM once per control step (~100 MB/s-class
+traffic, negligible).
 
 Reference unit being accelerated: uhc/envs/humanoid_im.py:1145-1190
 do_simulation (mj_step + stable-PD cho_solve at 450 Hz).
@@ -232,11 +242,23 @@ def _chol_inverse(A, NP):
     return jnp.concatenate(rows, axis=1)
 
 
+def _mv_pre(X, x):
+    """Preconditioner matvec: X may be stored bf16 (PCG self-corrects any
+    preconditioner error, so reduced precision here changes only the
+    convergence constant, not the solution); accumulate f32."""
+    out = jax.lax.dot_general(
+        X, jnp.expand_dims(x.astype(X.dtype), -1),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=F32,
+        precision=jax.lax.Precision.DEFAULT)
+    return out.reshape(x.shape)
+
+
 def _pcg(A, b, X, iters):
     """Preconditioned CG, warm start x0 = X b (solver.pcg_solve)."""
-    x = _mv(X, b)
+    x = _mv_pre(X, b)
     r = b - _mv(A, x)
-    z = _mv(X, r)
+    z = _mv_pre(X, r)
     p = z
     rz = jnp.sum(r * z, axis=-1, keepdims=True)
     for _ in range(iters):
@@ -244,7 +266,7 @@ def _pcg(A, b, X, iters):
         alpha = rz / (jnp.sum(p * Ap, axis=-1, keepdims=True) + 1e-12)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = _mv(X, r)
+        z = _mv_pre(X, r)
         rz_new = jnp.sum(r * z, axis=-1, keepdims=True)
         beta = rz_new / (rz + 1e-12)
         p = z + beta * p
@@ -260,7 +282,9 @@ def _pcg(A, b, X, iters):
 def make_fused_do_simulation(topo: Topology, cfg, model: Model,
                              env_tile: int = 8, pcg_iters: int = 3,
                              interpret: bool = False,
-                             vmem_limit_mb: int = 100):
+                             vmem_limit_mb: int = 100,
+                             split: bool = False, tail_tile: int = 16,
+                             precond_bf16: bool = False):
     """Build the fused control-step function.
 
     Returns fn(qpos (B,nq), qvel (B,nv), actions (B,act), target_base
@@ -275,9 +299,8 @@ def make_fused_do_simulation(topo: Topology, cfg, model: Model,
         raise ValueError("fused path supports implicit RFC only")
     if cfg.meta_pd_joint:
         raise ValueError("fused path does not support meta_pd_joint")
-    if getattr(cfg, "self_collision", False):
-        raise ValueError("fused path does not support self_collision yet "
-                         "(use the XLA solver path)")
+    # self-collision IS supported in-kernel (lane-packed sphere-pair
+    # combos over the curated pair set, engine.self_collision_terms law)
 
     from uhc_tpu.envs import humanoid_im as H
 
@@ -389,12 +412,72 @@ def make_fused_do_simulation(topo: Topology, cfg, model: Model,
     CC = np.concatenate([cpx, cpy, cpz, cmask], 0).astype(np.float32)
     CST = np.concatenate([Sz.T, Sy.T, Sx.T], 1).astype(np.float32)
 
-    # ---- the kernel ------------------------------------------------------
+    # ---- self-collision statics (engine.self_collision_terms port) ------
+    # Sphere-pair combos are lane-packed: combo c = (pair p, sphere si of
+    # body a, sphere sj of body b). Row order of the flattened per-sphere
+    # arrays is s-major: r = s*nb + body.
+    from uhc_tpu.smpl.constants import self_collision_pairs
+    sc_pairs = self_collision_pairs(topo)
+    scp = np.asarray(jax.device_get(model.sc_point), np.float32)  # (nb,SC,3)
+    scr = np.asarray(jax.device_get(model.sc_radius), np.float32)
+    SCN = scp.shape[1]
+    PN = len(sc_pairs)
+    CN = max(PN * SCN * SCN, 1)
+    GA = np.zeros((SCN * nb, CN), np.float32)
+    GB = np.zeros((SCN * nb, CN), np.float32)
+    PAc = np.zeros((nb, CN), np.float32)
+    PBc = np.zeros((nb, CN), np.float32)
+    RSc = np.zeros((1, CN), np.float32)
+    for p, (a, b) in enumerate(sc_pairs):
+        for si in range(SCN):
+            for sj in range(SCN):
+                c = (p * SCN + si) * SCN + sj
+                GA[si * nb + a, c] = 1.0
+                GB[sj * nb + b, c] = 1.0
+                PAc[a, c] = 1.0
+                PBc[b, c] = 1.0
+                RSc[0, c] = scr[a] + scr[b]
+    if PN:
+        # local sphere offsets per sphere index, padded to the combo lanes
+        def _pad(rows):
+            out = np.zeros((SCN, CN), np.float32)
+            out[:, :nb] = rows
+            return out
 
-    def kernel(root_ref, jz_ref, jy_ref, jx_ref, vz_ref, vy_ref, vx_ref,
-               ctrl_ref, tb_ref, kps_ref, kds_ref, vf_ref,
-               cb_ref, cl_ref, cs_ref, cpar_ref, ce_ref, cc_ref, cst_ref,
-               root_o, jz_o, jy_o, jx_o, vz_o, vy_o, vx_o):
+        scpx = _pad(scp[:, :, 0].T)
+        scpy = _pad(scp[:, :, 1].T)
+        scpz = _pad(scp[:, :, 2].T)
+        CSC = np.concatenate(
+            [GA, GB, PAc, PBc, RSc, scpx, scpy, scpz],
+            axis=0).astype(np.float32)
+    else:
+        CSC = np.zeros((1, 8), np.float32)
+    SC_K, SC_D = 3000.0, 50.0    # engine.self_collision_terms defaults
+
+    # ---- the kernel ------------------------------------------------------
+    # `mode`: "full" (substep 0 incl. exact inverse + substeps 1..FS-1 in
+    # one program), "head" (substep 0 only, Xp/Xf written to HBM), "tail"
+    # (substeps 1..FS-1, Xp/Xf read from HBM). The head/tail split frees
+    # the tail program of the blocked-Cholesky code — the Mosaic-compile
+    # and VMEM driver — so the tail can run at larger env tiles.
+    # `E` is the env-tile of the specific kernel instance.
+
+    def make_kernel(mode, E):
+      def kernel(*refs):
+        (root_ref, jz_ref, jy_ref, jx_ref, vz_ref, vy_ref, vx_ref,
+         ctrl_ref, tb_ref, kps_ref, kds_ref, vf_ref) = refs[:12]
+        if mode == "tail":
+            xp_ref, xf_ref = refs[12:14]
+            (cb_ref, cl_ref, cs_ref, cpar_ref, ce_ref, cc_ref,
+             cst_ref, csc_ref) = refs[14:22]
+            outs = refs[22:]
+        else:
+            (cb_ref, cl_ref, cs_ref, cpar_ref, ce_ref, cc_ref,
+             cst_ref, csc_ref) = refs[12:20]
+            outs = refs[20:]
+        (root_o, jz_o, jy_o, jx_o, vz_o, vy_o, vx_o) = outs[:7]
+        if mode == "head":
+            xp_o, xf_o = outs[7:9]
         root = root_ref[:]            # (E, 16): pos3 quat4 linv3 angv3
         jz, jy, jx = jz_ref[:], jy_ref[:], jx_ref[:]
         vz, vy, vx = vz_ref[:], vy_ref[:], vx_ref[:]
@@ -431,6 +514,17 @@ def make_fused_do_simulation(topo: Topology, cfg, model: Model,
         K_CM = cc[3 * nb:4 * nb]
         K_SZT, K_SYT = cst[:, 0:nb], cst[:, nb:2 * nb]
         K_SXT = cst[:, 2 * nb:3 * nb]
+        if cfg.self_collision and CN > 1:
+            csc = csc_ref[:]
+            K_GA = csc[0:SCN * nb]
+            K_GB = csc[SCN * nb:2 * SCN * nb]
+            K_PA = csc[2 * SCN * nb:2 * SCN * nb + nb]
+            K_PB = csc[2 * SCN * nb + nb:2 * SCN * nb + 2 * nb]
+            _o = 2 * SCN * nb + 2 * nb
+            K_RS = csc[_o:_o + 1]
+            K_SCPX = csc[_o + 1:_o + 1 + SCN, :nb]
+            K_SCPY = csc[_o + 1 + SCN:_o + 1 + 2 * SCN, :nb]
+            K_SCPZ = csc[_o + 1 + 2 * SCN:_o + 1 + 3 * SCN, :nb]
 
         rp = (root[:, 0:1], root[:, 1:2], root[:, 2:3])
         rq = (root[:, 3:4], root[:, 4:5], root[:, 5:6], root[:, 6:7])
@@ -676,6 +770,68 @@ def make_fused_do_simulation(topo: Topology, cfg, model: Model,
                         + jnp.sum(Ja[0] * Tx[:, :, None], axis=1)
                         + jnp.sum(Ja[1] * Ty[:, :, None], axis=1))
 
+            # ---------- self-collision (engine.self_collision_terms) ------
+            if cfg.self_collision and CN > 1:
+                # world sphere positions/velocities, (E, SCN*nb) s-major
+                ws, vs = [], []
+                for s in range(SCN):
+                    sx, sy, sz = _qrot(q, (K_SCPX[s:s + 1],
+                                           K_SCPY[s:s + 1],
+                                           K_SCPZ[s:s + 1]))
+                    wx_, wy_, wz_ = px + sx, py + sy, pz + sz
+                    ws.append((wx_, wy_, wz_))
+                    vs.append((vl[0] + om[1] * sz - om[2] * sy,
+                               vl[1] + om[2] * sx - om[0] * sz,
+                               vl[2] + om[0] * sy - om[1] * sx))
+
+                def sc_gather(mat, arrs):
+                    cat = jnp.concatenate(arrs, axis=1)
+                    return jnp.dot(cat, mat, preferred_element_type=F32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+                def sc_scatter(v, mat):           # (E,CN)x(nb,CN)->(E,nb)
+                    return jax.lax.dot_general(
+                        v, mat, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=F32,
+                        precision=jax.lax.Precision.HIGHEST)
+
+                wa = [sc_gather(K_GA, [w[c] for w in ws]) for c in range(3)]
+                wb = [sc_gather(K_GB, [w[c] for w in ws]) for c in range(3)]
+                va = [sc_gather(K_GA, [v[c] for v in vs]) for c in range(3)]
+                vb = [sc_gather(K_GB, [v[c] for v in vs]) for c in range(3)]
+                ca = [jnp.dot(t, K_PA, preferred_element_type=F32)
+                      for t in (cx_, cy_, cz_)]
+                cb2 = [jnp.dot(t, K_PB, preferred_element_type=F32)
+                       for t in (cx_, cy_, cz_)]
+                dxc = wa[0] - wb[0]
+                dyc = wa[1] - wb[1]
+                dzc = wa[2] - wb[2]
+                dist = jnp.sqrt(dxc * dxc + dyc * dyc + dzc * dzc + 1e-12)
+                depth = K_RS - dist
+                actc = (depth > 0.0).astype(F32)
+                nxc, nyc, nzc = dxc / dist, dyc / dist, dzc / dist
+                vnc = ((va[0] - vb[0]) * nxc + (va[1] - vb[1]) * nyc
+                       + (va[2] - vb[2]) * nzc)
+                fnc = jnp.maximum(SC_K * depth - SC_D * vnc, 0.0) * actc
+                Fc = [fnc * nxc, fnc * nyc, fnc * nzc]
+                pt = [0.5 * (wa[c] + wb[c]) for c in range(3)]
+                ra = [pt[c] - ca[c] for c in range(3)]
+                rb = [pt[c] - cb2[c] for c in range(3)]
+                Ta = [ra[1] * Fc[2] - ra[2] * Fc[1],
+                      ra[2] * Fc[0] - ra[0] * Fc[2],
+                      ra[0] * Fc[1] - ra[1] * Fc[0]]
+                Tb = [-(rb[1] * Fc[2] - rb[2] * Fc[1]),
+                      -(rb[2] * Fc[0] - rb[0] * Fc[2]),
+                      -(rb[0] * Fc[1] - rb[1] * Fc[0])]
+                Fbody = [sc_scatter(Fc[c], K_PA) - sc_scatter(Fc[c], K_PB)
+                         for c in range(3)]
+                Tbody = [sc_scatter(Ta[c], K_PA) + sc_scatter(Tb[c], K_PB)
+                         for c in range(3)]
+                qfrc_con = qfrc_con + sum(
+                    jnp.sum(Jl[c] * Fbody[c][:, :, None], axis=1)
+                    + jnp.sum(Ja[c] * Tbody[c][:, :, None], axis=1)
+                    for c in range(3))
+
             # ---------- joint limits ---------------------------------------
             qd = dofify(jz, jy, jx)                        # (E, NP)
             qveld = (dofify(vz, vy, vx)
@@ -723,6 +879,9 @@ def make_fused_do_simulation(topo: Topology, cfg, model: Model,
             if compute_inv:
                 Xp = _chol_inverse(A_pd, NP)
                 Xf = _chol_inverse(A_fd, NP)
+                if precond_bf16:
+                    Xp = Xp.astype(jnp.bfloat16)
+                    Xf = Xf.astype(jnp.bfloat16)
 
             qacc_des = _pcg(A_pd, rhs_pd * K_VAL, Xp, pcg_iters)
             tau = jnp.clip(-kp_i * qpos_err - kd_i * (qveld + qacc_des * dt),
@@ -756,23 +915,27 @@ def make_fused_do_simulation(topo: Topology, cfg, model: Model,
             return (jz, jy, jx, vz, vy, vx, rp, rq, rv, rw), Xp, Xf
 
         state = (jz, jy, jx, vz, vy, vx, rp, rq, rv, rw)
-        state, X_pd, X_fd = one_substep(state, None, None,
-                                        kps[:, 0:1], kds[:, 0:1], True)
+        if mode == "tail":
+            X_pd, X_fd = xp_ref[:], xf_ref[:]
+        else:
+            state, X_pd, X_fd = one_substep(state, None, None,
+                                            kps[:, 0:1], kds[:, 0:1], True)
 
-        def loop_body(it, carry):
-            st, Xp, Xf = carry
-            # masked lane select (Mosaic lowers neither dynamic_slice nor
-            # gather on values)
-            lane_fs = jax.lax.broadcasted_iota(jnp.int32, (1, FSP), 1)
-            ks = jnp.sum(jnp.where(lane_fs == it, kps, 0.0), axis=1,
-                         keepdims=True)
-            ds = jnp.sum(jnp.where(lane_fs == it, kds, 0.0), axis=1,
-                         keepdims=True)
-            st, Xp, Xf = one_substep(st, Xp, Xf, ks, ds, False)
-            return (st, Xp, Xf)
+        if mode != "head":
+            def loop_body(it, carry):
+                st, Xp, Xf = carry
+                # masked lane select (Mosaic lowers neither dynamic_slice
+                # nor gather on values)
+                lane_fs = jax.lax.broadcasted_iota(jnp.int32, (1, FSP), 1)
+                ks = jnp.sum(jnp.where(lane_fs == it, kps, 0.0), axis=1,
+                             keepdims=True)
+                ds = jnp.sum(jnp.where(lane_fs == it, kds, 0.0), axis=1,
+                             keepdims=True)
+                st, Xp, Xf = one_substep(st, Xp, Xf, ks, ds, False)
+                return (st, Xp, Xf)
 
-        state, X_pd, X_fd = jax.lax.fori_loop(
-            1, FS, loop_body, (state, X_pd, X_fd))
+            state, X_pd, X_fd = jax.lax.fori_loop(
+                1, FS, loop_body, (state, X_pd, X_fd))
         (jz, jy, jx, vz, vy, vx, rp, rq, rv, rw) = state
 
         root_o[:] = jnp.concatenate(
@@ -785,6 +948,10 @@ def make_fused_do_simulation(topo: Topology, cfg, model: Model,
         vz_o[:] = vz
         vy_o[:] = vy
         vx_o[:] = vx
+        if mode == "head":
+            xp_o[:] = X_pd
+            xf_o[:] = X_fd
+      return kernel
 
     # ---- host-side wrapper ----------------------------------------------
 
@@ -793,7 +960,8 @@ def make_fused_do_simulation(topo: Topology, cfg, model: Model,
     @jax.jit
     def do_simulation(qpos, qvel, actions, target_base, rfc_rate):
         B = qpos.shape[0]
-        Bp = -(-B // E) * E
+        tile = max(E, tail_tile) if split else E
+        Bp = -(-B // tile) * tile
         dtype = F32
 
         # meta-PD per-substep gain scales (humanoid_im.py:1053-1064)
@@ -838,33 +1006,56 @@ def make_fused_do_simulation(topo: Topology, cfg, model: Model,
         args = [a.astype(dtype) for a in args]
 
         widths = [16, nb, nb, nb, nb, nb, nb, NP, NP, FSP, FSP, 8]
-        in_specs = [pl.BlockSpec((E, w), lambda g: (g, 0),
-                                 memory_space=pltpu.VMEM) for w in widths]
-        # replicated constant packs (same block for every program)
-        packs = [CB, CL, CS, CPar, CE, CC, CST]
-        args += [jnp.asarray(pk) for pk in packs]
-        in_specs += [pl.BlockSpec(pk.shape, lambda g: (0, 0),
-                                  memory_space=pltpu.VMEM) for pk in packs]
-        out_widths = [16, nb, nb, nb, nb, nb, nb]
-        out_specs = [pl.BlockSpec((E, w), lambda g: (g, 0),
-                                  memory_space=pltpu.VMEM)
-                     for w in out_widths]
+        state_w = [16, nb, nb, nb, nb, nb, nb]
+        packs = [jnp.asarray(pk)
+                 for pk in (CB, CL, CS, CPar, CE, CC, CST, CSC)]
         # the default scoped-VMEM budget (~16 MB) is a compiler default, not
         # the v5e hardware limit (128 MB) — raising it is what allows env
         # tiles beyond E=8 to schedule
         cparams = pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
-        outs = pl.pallas_call(
-            kernel,
-            grid=(Bp // E,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=[jax.ShapeDtypeStruct((Bp, w), dtype)
-                       for w in out_widths],
-            compiler_params=cparams,
-            interpret=interpret,
-        )(*args)
-        root_o, jz_o, jy_o, jx_o, vz_o, vy_o, vx_o = [o[:B] for o in outs]
+
+        def call(mode, E_k, extra_in=(), extra_in_w=()):
+            specs = [pl.BlockSpec((E_k, w), lambda g: (g, 0),
+                                  memory_space=pltpu.VMEM) for w in widths]
+            specs += [pl.BlockSpec((E_k,) + w,
+                                   lambda g, n=len(w): (g,) + (0,) * n,
+                                   memory_space=pltpu.VMEM)
+                      for w in extra_in_w]
+            # replicated constant packs (same block for every program)
+            specs += [pl.BlockSpec(pk.shape, lambda g: (0,) * pk.ndim,
+                                   memory_space=pltpu.VMEM) for pk in packs]
+            out_w = [(w,) for w in state_w]
+            out_dt = [dtype] * len(out_w)
+            if mode == "head":
+                pdt = jnp.bfloat16 if precond_bf16 else dtype
+                out_w += [(NP, NP), (NP, NP)]
+                out_dt += [pdt, pdt]
+            out_specs = [pl.BlockSpec((E_k,) + w,
+                                      lambda g, n=len(w): (g,) + (0,) * n,
+                                      memory_space=pltpu.VMEM)
+                         for w in out_w]
+            return pl.pallas_call(
+                make_kernel(mode, E_k),
+                grid=(Bp // E_k,),
+                in_specs=specs,
+                out_specs=out_specs,
+                out_shape=[jax.ShapeDtypeStruct((Bp,) + w, dt)
+                           for w, dt in zip(out_w, out_dt)],
+                compiler_params=cparams,
+                interpret=interpret,
+            )(*(args + list(extra_in) + packs))
+
+        if split:
+            houts = call("head", E)
+            state_h, xp, xf = houts[:7], houts[7], houts[8]
+            args = list(state_h) + args[7:]
+            outs = call("tail", tail_tile, extra_in=(xp, xf),
+                        extra_in_w=((NP, NP), (NP, NP)))
+        else:
+            outs = call("full", E)
+        root_o, jz_o, jy_o, jx_o, vz_o, vy_o, vx_o = [
+            o[:B] for o in outs[:7]]
 
         qpos_out = jnp.concatenate(
             [root_o[:, 0:7],

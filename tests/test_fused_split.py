@@ -1,0 +1,55 @@
+"""Fused-kernel head/tail split + in-kernel self-collision parity
+(interpret mode; the real-TPU numbers live in PERF.md via
+tools/kernel_bench.py).
+
+Slow tier: interpret-mode execution of the full control-step kernel is
+minutes of host time.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uhc_tpu.config.config import EnvConfig
+from uhc_tpu.data.dataset import build_expert_library, load_motion_file
+from uhc_tpu.envs import humanoid_im as H
+from uhc_tpu.physics import solver as S
+from uhc_tpu.physics.model import model_to_dtype
+from uhc_tpu.smpl.mjcf import load_mjcf_humanoid
+
+XML = "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+NEUTRAL = "/root/reference/sample_data/standing_neutral.pkl"
+
+
+@pytest.mark.slow
+def test_split_and_sc_parity_interpret():
+    from uhc_tpu.physics.pallas_substep import make_fused_do_simulation
+
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    seqs = load_motion_file(NEUTRAL)
+    lib, _ = build_expert_library(topo, model, seqs, max_len=8)
+    B = 16
+    rng = jax.random.PRNGKey(0)
+    qp = jnp.tile(lib["qpos"][0, 0][None], (B, 1))
+    qv = 0.05 * jax.random.normal(rng, (B, topo.nv))
+    tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
+
+    cfg = EnvConfig(self_collision=True)
+    nd, vf, meta = H.action_dims(topo, cfg)
+    act = 0.02 * jax.random.normal(rng, (B, nd + vf + meta))
+
+    sim = S.make_do_simulation(topo, cfg, pcg_iters=3)
+    q_ref, _ = sim(model, qp, qv, act, tb, 1.0)
+
+    fused = make_fused_do_simulation(topo, cfg, model, interpret=True)
+    spl = make_fused_do_simulation(topo, cfg, model, interpret=True,
+                                   split=True, tail_tile=16)
+    q1, _ = fused(qp, qv, act, tb, 1.0)
+    q2, _ = spl(qp, qv, act, tb, 1.0)
+
+    # one-program vs split must be bit-identical (same arithmetic order)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    # fused vs the XLA solver path: same physics incl. self-collision
+    assert float(jnp.max(jnp.abs(q1 - q_ref))) < 1e-5

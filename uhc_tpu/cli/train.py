@@ -87,9 +87,17 @@ def main():
     if args.epoch > 0:
         agent.load_checkpoint(args.epoch)
 
+    # wandb-twin scalar sink: per-epoch scalars as ndjson under results/
+    # (reference train_uhc.py:58-68 wandb.log)
+    from uhc_tpu.utils.metrics_sink import MetricsSink
+    sink = MetricsSink(agent.results_dir, resume=args.epoch > 0)
+
     epochs = args.epochs if args.epochs is not None else cfg.num_epoch
     for i in range(args.epoch, epochs):
         stats = agent.optimize_policy(i)
+        sink.log(i, {k: v for k, v in stats.items()
+                     if isinstance(v, (int, float))
+                     or getattr(v, "ndim", 1) == 0})
         if args.agent == "uhm":
             parts = [f"epoch {i}:"]
             if "reward_mean" in stats:

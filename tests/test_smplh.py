@@ -106,11 +106,15 @@ def test_smplh_expert_library_and_step(smplh):
     assert not bool(done)
 
 
-def test_smplh_qpose_rejects_24(smplh):
+def test_smplh_accepts_plain_smpl_poses(smplh):
+    """72-dof SMPL clips route onto the 52-body tree with flat hands
+    (finger dofs zeroed) — the inverse of the reference's model="smpl"
+    hand-drop."""
     topo, model = smplh
     from uhc_tpu.data.dataset import _pose_to_qpose
-    with pytest.raises(ValueError):
-        _pose_to_qpose(topo, model, np.zeros((3, 72), np.float32), None)
+    qpos = _pose_to_qpose(topo, model, np.zeros((3, 72), np.float32), None)
+    assert qpos.shape == (3, topo.nq)
+    assert bool(jnp.all(jnp.isfinite(qpos)))
 
 
 def test_smplx_family(smplh):

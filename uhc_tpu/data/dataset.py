@@ -131,7 +131,12 @@ def _pose_to_qpose(topo: Topology, model: Model, pose_aa, trans):
     if topo.nbody == 52:
         from uhc_tpu.smpl.smplh import smplh_to_qpose
         if pose_aa.shape[-1] == 72:
-            raise ValueError("52-body topology needs 156-dof SMPL-H poses")
+            # plain SMPL clip on the SMPL-H body: drop the two hand-root
+            # joints and zero the finger chains (flat hands — the inverse
+            # of the reference's model="smpl" hand-drop)
+            pose_aa = np.concatenate(
+                [pose_aa[:, :66],
+                 np.zeros((len(pose_aa), 90), pose_aa.dtype)], -1)
         return smplh_to_qpose(pose_aa, model.body_pos[0], trans)
     if topo.nbody == 55:
         from uhc_tpu.smpl.smplh import smplx_to_qpose

@@ -210,6 +210,10 @@ class CopycatAgent:
         # the config allows it (fused_compatible) and the model is static;
         # make_env_step_batched falls back to the XLA solver otherwise.
         # UHC_TPU_FUSED=0 forces the XLA path (e.g. CPU test runs).
+        # Covers every tree the kernel traces for (24-body SMPL, 48-body
+        # masterfoot, 52-body SMPL-H); first Mosaic compile of a new tree
+        # is expensive (~35 min for masterfoot) but lands in the
+        # persistent cache.
         self._fused_model = (
             self.sim_model
             if os.environ.get("UHC_TPU_FUSED", "1") == "1"

@@ -34,8 +34,16 @@ def make_eval_fn(topo: Topology, cfg: EnvConfig, policy_mean_fn,
     (scan over time of the same `make_env_step_batched` the trainer uses),
     so evaluation rides the fused Pallas control-step kernel whenever the
     config allows it (`fused_model`)."""
-    # evaluation ignores the training window cap and runs the full clip
-    eval_cfg = dataclasses.replace(cfg, t_max=10**9, env_episode_len=10**9)
+    # evaluation ignores the training window cap and runs the full clip;
+    # when the training cfg already covers the longest clip, reuse it
+    # verbatim — the identical EnvConfig hash lets the persistent
+    # compilation cache share the (expensive) fused-kernel lowering with
+    # the training step instead of compiling a second instance
+    if cfg.t_max >= max_steps and cfg.env_episode_len >= max_steps:
+        eval_cfg = cfg
+    else:
+        eval_cfg = dataclasses.replace(cfg, t_max=10**9,
+                                       env_episode_len=10**9)
     env_step_batched = H.make_env_step_batched(topo, eval_cfg,
                                                use_fast_solver,
                                                fused_model=fused_model)

@@ -74,7 +74,7 @@ def main():
 
         fused = make_fused_do_simulation(
             topo, cfg, model,
-            pcg_iters=int(os.environ.get("BENCH_PCG", 3)),
+            pcg_iters=int(os.environ.get("BENCH_PCG", 2)),
             split=os.environ.get("BENCH_SPLIT", "1") == "1",
             tail_tile=int(os.environ.get("BENCH_TAIL", 16)))
         tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))

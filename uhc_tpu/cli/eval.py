@@ -25,6 +25,8 @@ def main():
     p.add_argument("--data",
                    default="/root/reference/sample_data/standing_neutral.pkl")
     p.add_argument("--max-seq-len", type=int, default=None)
+    p.add_argument("--results-dir", default=None,
+                   help="checkpoint directory (default results/<cfg_id>)")
     p.add_argument("--dump", default=None,
                    help="write per-seq gt/pred trajectories to this pkl "
                         "(consumed by uhc_tpu.cli.eval_imitation)")
@@ -41,7 +43,8 @@ def main():
         cfg = Config(cfg_id=args.cfg)
 
     agent = CopycatAgent(cfg, args.data, num_envs=1, horizon=1,
-                         max_seq_len=args.max_seq_len)
+                         max_seq_len=args.max_seq_len,
+                         results_dir=args.results_dir)
     agent.load_checkpoint(args.epoch)
 
     max_steps = int(agent.expert_lib["len"].max()) - 1

@@ -825,7 +825,7 @@ def fused_compatible(cfg: EnvConfig) -> bool:
 def make_env_step_batched(topo: Topology, cfg: EnvConfig,
                           use_fast_solver: bool = True, pcg_iters: int = 5,
                           fused_model: Model = None,
-                          fused_pcg_iters: int = 3):
+                          fused_pcg_iters: int = 2):
     """Batch-level control step: the physics substep chain runs at batch
     level (enabling the maintained-inverse solver,
     uhc_tpu.physics.solver.make_do_simulation); obs/reward/termination are

@@ -159,3 +159,37 @@ def test_obs_versions_dims(setup):
         assert obs.shape == (H.obs_dim(topo, c),), (v, obs.shape,
                                                     H.obs_dim(topo, c))
         assert bool(jnp.all(jnp.isfinite(obs))), v
+
+
+def test_eval_per_seq_params(setup):
+    """fit_uhc protocol: make_eval_fn(per_seq_params=True) runs each
+    sequence under its own stacked policy/ZFilter (cli/eval.py
+    --singles-dir). A per-seq zero policy must reproduce the shared zero
+    policy's trajectory exactly."""
+    from uhc_tpu.learn import running_norm as RN
+    from uhc_tpu.learn.evaluate import make_eval_fn
+
+    topo, model, cfg, lib, aux = setup
+    ndof, vf, meta = H.action_dims(topo, cfg)
+    adim = ndof + vf + meta
+    obs_dim = H.obs_dim(topo, cfg)
+    # batch-style net: expects (B, D) like the real policies (einsum 'bp')
+    mean_fn = lambda p, o: jnp.einsum("bp,pa->ba", o, p["w"])
+
+    shared_p = {"w": jnp.zeros((obs_dim, adim))}
+    shared_rs = RN.init(obs_dim)
+    f_shared = make_eval_fn(topo, cfg, mean_fn, max_steps=5,
+                            use_fast_solver=False)
+    t1, fs1, pc1 = f_shared(model, lib, aux, shared_p, shared_rs)
+
+    S = lib["len"].shape[0]
+    stacked_p = jax.tree.map(lambda x: jnp.stack([x] * S), shared_p)
+    stacked_rs = jax.tree.map(lambda x: jnp.stack([x] * S), shared_rs)
+    f_per = make_eval_fn(topo, cfg, mean_fn, max_steps=5,
+                         use_fast_solver=False, per_seq_params=True)
+    t2, fs2, pc2 = f_per(model, lib, aux, stacked_p, stacked_rs)
+
+    np.testing.assert_allclose(np.asarray(t1["pred_qpos"]),
+                               np.asarray(t2["pred_qpos"]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(fs1), np.asarray(fs2))
+    np.testing.assert_allclose(np.asarray(pc1), np.asarray(pc2), atol=1e-6)

@@ -30,6 +30,11 @@ def main():
     p.add_argument("--dump", default=None,
                    help="write per-seq gt/pred trajectories to this pkl "
                         "(consumed by uhc_tpu.cli.eval_imitation)")
+    p.add_argument("--singles-dir", default=None,
+                   help="directory of per-sequence fine-tuned policies "
+                        "(<key>.p from uhc_tpu.cli.fit); sequences with a "
+                        "fitted snapshot evaluate under it, the rest under "
+                        "the base checkpoint (fit_uhc.py protocol)")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -48,11 +53,41 @@ def main():
     agent.load_checkpoint(args.epoch)
 
     max_steps = int(agent.expert_lib["len"].max()) - 1
+    params, rs = agent.ppo_state.policy_params, agent.rs
+    per_seq = False
+    if args.singles_dir:
+        import dataclasses
+        import pickle
+
+        import jax
+        from uhc_tpu.learn import running_norm as RN
+        base_p = jax.device_get(params)
+        base_rs = jax.device_get(dataclasses.asdict(rs))
+        per_p, per_rs, fitted = [], [], []
+        for key in agent.seq_keys:
+            f = os.path.join(args.singles_dir, f"{key}.p")
+            if os.path.exists(f):
+                with open(f, "rb") as fh:
+                    d = pickle.load(fh)
+                per_p.append(d["policy_params"])
+                per_rs.append(d["running_stats"])
+                fitted.append(key)
+            else:
+                per_p.append(base_p)
+                per_rs.append(base_rs)
+        print(f"singles: {len(fitted)}/{len(agent.seq_keys)} fitted "
+              f"({', '.join(fitted)})")
+        params = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              per_p[0], *per_p[1:])
+        rs_d = jax.tree.map(lambda *xs: jnp.stack(xs),
+                            per_rs[0], *per_rs[1:])
+        rs = RN.RunningStats(rs_d["n"], rs_d["mean"], rs_d["m2"])
+        per_seq = True
     eval_fn = make_eval_fn(agent.topo, agent.env_cfg, agent.policy_mean_fn,
-                           max_steps, fused_model=agent._fused_model)
+                           max_steps, fused_model=agent._fused_model,
+                           per_seq_params=per_seq)
     traj, fail_safe, percent = eval_fn(
-        agent.sim_model, agent.expert_lib, agent.aux,
-        agent.ppo_state.policy_params, agent.rs)
+        agent.sim_model, agent.expert_lib, agent.aux, params, rs)
     res = summarize(traj, fail_safe, percent, agent.expert_lib,
                     agent.seq_keys)
     for k, m in res["per_seq"].items():

@@ -31,6 +31,8 @@ def main():
     p.add_argument("--succ-threshold", type=float, default=0.95)
     p.add_argument("--num-envs", type=int, default=512)
     p.add_argument("--horizon", type=int, default=48)
+    p.add_argument("--results-dir", default=None,
+                   help="checkpoint directory (default results/<cfg_id>)")
     args = p.parse_args()
 
     import numpy as np
@@ -44,7 +46,7 @@ def main():
         cfg = Config(cfg_id=args.cfg)
 
     agent = CopycatAgent(cfg, args.motion_file, num_envs=args.num_envs,
-                         horizon=args.horizon)
+                         horizon=args.horizon, results_dir=args.results_dir)
     logger = create_logger(os.path.join(agent.results_dir, "log"))
     if args.epoch > 0:
         agent.load_checkpoint(args.epoch)

@@ -29,7 +29,8 @@ from uhc_tpu.physics.model import Model, Topology
 
 def make_eval_fn(topo: Topology, cfg: EnvConfig, policy_mean_fn,
                  max_steps: int, clip_obs: float = 5.0,
-                 fused_model: Model = None, use_fast_solver: bool = True):
+                 fused_model: Model = None, use_fast_solver: bool = True,
+                 per_seq_params: bool = False):
     """All test sequences advance lock-step through one batched env step
     (scan over time of the same `make_env_step_batched` the trainer uses),
     so evaluation rides the fused Pallas control-step kernel whenever the
@@ -71,8 +72,19 @@ def make_eval_fn(topo: Topology, cfg: EnvConfig, policy_mean_fn,
             states, fail_safe = carry
             active = t < (lengths - 1)
             obs = H.get_obs_batched(topo, model, eval_cfg, states, expert_lib)
-            nobs = RN.normalize(rs, obs, clip_obs)
-            actions = policy_mean_fn(params, nobs)
+            if per_seq_params:
+                # fit_uhc.py protocol: each sequence runs under its own
+                # fine-tuned policy + ZFilter (params/rs leaves carry a
+                # leading S axis, assembled host-side from _singles/*.p)
+                nobs = jax.vmap(
+                    lambda r, o: RN.normalize(r, o, clip_obs))(rs, obs)
+                # nets expect a batch axis — run each policy on its own
+                # singleton batch
+                actions = jax.vmap(
+                    lambda p, o: policy_mean_fn(p, o[None])[0])(params, nobs)
+            else:
+                nobs = RN.normalize(rs, obs, clip_obs)
+                actions = policy_mean_fn(params, nobs)
             states2, _, _, _, _ = env_step_batched(
                 model, states, actions, expert_lib,
                 aux["jpos_diffw"], aux["body_diffw"], train=False)

@@ -239,3 +239,20 @@ def test_gaussian_kl():
         np.asarray(nets.gaussian_kl(m, ls, m, ls)), 0.0, atol=1e-7)
     kl = nets.gaussian_kl(m, ls, m + 1.0, ls)
     np.testing.assert_allclose(np.asarray(kl), 1.5, rtol=1e-6)
+
+
+def test_succ_percent_one_ulp():
+    """TPU f32 division (reciprocal-multiply) can return cur_t/(wlen-1) one
+    ulp below 1.0 (209/209 -> 0.99999994 on device); the succ criterion
+    must not read that as a truncated clip."""
+    import numpy as np
+    from uhc_tpu.learn.metrics import compute_metrics
+    T, nj = 4, 24
+    rng = np.random.RandomState(0)
+    q = rng.randn(T, 76).astype(np.float32)
+    j = rng.randn(T, nj * 3).astype(np.float32)
+    one_ulp_under = float(np.nextafter(np.float32(1.0), np.float32(0.0)))
+    m = compute_metrics(q, q, j, j, False, one_ulp_under)
+    assert m["succ"] == 1.0
+    m2 = compute_metrics(q, q, j, j, False, 0.95)
+    assert m2["succ"] == 0.0

@@ -53,3 +53,34 @@ def test_split_and_sc_parity_interpret():
     np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
     # fused vs the XLA solver path: same physics incl. self-collision
     assert float(jnp.max(jnp.abs(q1 - q_ref))) < 1e-5
+
+
+@pytest.mark.slow
+def test_lane_kernel_parity_interpret():
+    """Lane-major (v3) fused kernel vs the XLA solver path, interpret mode
+    (physics/pallas_lane.py; envs in lanes, sub-tiled env-major solves)."""
+    from uhc_tpu.physics.pallas_lane import make_fused_do_simulation_lane
+
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    seqs = load_motion_file(NEUTRAL)
+    lib, _ = build_expert_library(topo, model, seqs, max_len=8)
+    B = 16
+    rng = jax.random.PRNGKey(0)
+    qp = jnp.tile(lib["qpos"][0, 0][None], (B, 1))
+    qv = 0.05 * jax.random.normal(rng, (B, topo.nv))
+    tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
+
+    cfg = EnvConfig(self_collision=True)
+    nd, vf, meta = H.action_dims(topo, cfg)
+    act = 0.02 * jax.random.normal(rng, (B, nd + vf + meta))
+
+    sim = S.make_do_simulation(topo, cfg, pcg_iters=3)
+    q_ref, v_ref = sim(model, qp, qv, act, tb, 1.0)
+
+    lane = make_fused_do_simulation_lane(topo, cfg, model, env_tile=16,
+                                         sub_tile=8, pcg_iters=3,
+                                         interpret=True)
+    q1, v1 = lane(qp, qv, act, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q1 - q_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(v1 - v_ref))) < 1e-3

@@ -32,7 +32,8 @@ NEUTRAL = "/root/reference/sample_data/standing_neutral.pkl"
 
 
 def parse_cfg(s):
-    out = {"E": 8, "PCG": 3, "V": 100, "SPLIT": 0, "TAIL": 16, "SC": 0, "BF16": 0}
+    out = {"E": 8, "PCG": 3, "V": 100, "SPLIT": 0, "TAIL": 16, "SC": 0,
+           "BF16": 0, "LANE": 0, "SUB": 16}
     for kv in s.split(","):
         k, v = kv.split("=")
         out[k.upper()] = int(v)
@@ -72,10 +73,17 @@ def main():
                      else __import__("dataclasses").replace(
                          env_cfg, self_collision=True))
             t0 = time.perf_counter()
-            fused = make_fused_do_simulation(
-                topo, cfg_i, model, env_tile=c["E"], pcg_iters=c["PCG"],
-                vmem_limit_mb=c["V"], split=bool(c["SPLIT"]),
-                tail_tile=c["TAIL"], precond_bf16=bool(c["BF16"]))
+            if c["LANE"]:
+                from uhc_tpu.physics.pallas_lane import \
+                    make_fused_do_simulation_lane
+                fused = make_fused_do_simulation_lane(
+                    topo, cfg_i, model, env_tile=c["E"], sub_tile=c["SUB"],
+                    pcg_iters=c["PCG"], vmem_limit_mb=c["V"])
+            else:
+                fused = make_fused_do_simulation(
+                    topo, cfg_i, model, env_tile=c["E"], pcg_iters=c["PCG"],
+                    vmem_limit_mb=c["V"], split=bool(c["SPLIT"]),
+                    tail_tile=c["TAIL"], precond_bf16=bool(c["BF16"]))
 
             @jax.jit
             def run(qp, qv):

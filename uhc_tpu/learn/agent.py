@@ -279,7 +279,10 @@ class CopycatAgent:
             "reward_terms": jnp.mean(traj.reward_terms, axis=(0, 1)),
             "episodes": jnp.sum(done_f),
             "avg_percent": jnp.sum(traj.percents * done_f) / n_done,
-            "success_rate": jnp.sum((traj.percents >= 1.0) * done_f) / n_done,
+            # 1-ulp tolerance: TPU reciprocal-multiply division can leave
+            # percent one ulp under 1.0 (see learn/metrics.py succ)
+            "success_rate": jnp.sum(
+                (traj.percents >= 1.0 - 1e-5) * done_f) / n_done,
             "avg_eps_len": self.horizon * self.num_envs / n_done,
             **ppo_stats,
         }

@@ -103,7 +103,11 @@ def compute_metrics(pred_qpos, gt_qpos, pred_jpos, gt_jpos,
     pa_mpjpe = procrustes_mpjpe(p_rel, g_rel).mean() * 1000
 
     return {
-        "succ": float((not fail_safe) and percent >= 1.0),
+        # 1-ulp tolerance: TPU f32 division lowers to reciprocal-multiply,
+        # so cur_t/(wlen-1) can land one ulp below 1.0 for some lengths
+        # (e.g. 209/209 -> 0.99999994), which an exact >= 1.0 reads as a
+        # truncated clip (reference smpl_eval.py:101 compares == 1 in f64)
+        "succ": float((not fail_safe) and percent >= 1.0 - 1e-5),
         "mpjpe": float(mpjpe),
         "pa_mpjpe": float(pa_mpjpe),
         "mpjpe_g": float(mpjpe_g),

@@ -84,3 +84,13 @@ def test_lane_kernel_parity_interpret():
     q1, v1 = lane(qp, qv, act, tb, 1.0)
     assert float(jnp.max(jnp.abs(q1 - q_ref))) < 1e-5
     assert float(jnp.max(jnp.abs(v1 - v_ref))) < 1e-3
+
+    # VPU-PCG variant (solves deferred out of the env-subtile loop and run
+    # env-major over the full lane tile): same physics, only float
+    # reassociation in the matvec reductions differs
+    lane_v = make_fused_do_simulation_lane(topo, cfg, model, env_tile=16,
+                                           sub_tile=8, pcg_iters=3,
+                                           interpret=True, pcg_vpu=True)
+    q2, v2 = lane_v(qp, qv, act, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q2 - q_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(v2 - v_ref))) < 1e-3

@@ -59,7 +59,8 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                                   env_tile: int = 128, sub_tile: int = 16,
                                   pcg_iters: int = 2,
                                   interpret: bool = False,
-                                  vmem_limit_mb: int = 100):
+                                  vmem_limit_mb: int = 100,
+                                  pcg_vpu: bool = False):
     """Build the lane-major fused control step.
 
     Returns fn(qpos (B,nq), qvel (B,nv), actions (B,act), target_base
@@ -224,7 +225,8 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                cbr_ref, cc3_ref, gab_ref, pab_ref, rs_ref, scpk_ref,
                iel_ref,
                root_o, jz_o, jy_o, jx_o, vz_o, vy_o, vx_o,
-               coordw_ref, vecs_ref, qvnew_ref, xp_ref, xf_ref):
+               coordw_ref, vecs_ref, qvnew_ref, xp_ref, xf_ref,
+               apd_ref, afd_ref):
         cbt = cbt_ref[:]
         clt = clt_ref[:]
         clr = clr_ref[:]
@@ -677,15 +679,68 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                     Xp = xp_ref[pl.ds(off, ET), :, :]
                     Xf = xf_ref[pl.ds(off, ET), :, :]
 
-                qacc_des = _pcg(A_pd, rhs_pd_s * R_VAL, Xp, pcg_iters)
-                tau = jnp.clip(pd_a_s - kd_i_s * dt * qacc_des,
-                               -R_TL, R_TL) * R_JNT
-                qacc = _pcg(A_fd, (rhs_b_s + tau) * R_VAL, Xf, pcg_iters)
-                qvn = (qveld_s + dt * qacc) * R_VAL
-                qvnew_ref[pl.ds(off, ET), :] = qvn
+                if pcg_vpu:
+                    # solves happen post-loop over the full EL batch on the
+                    # VPU; the loop only assembles and stores the systems
+                    apd_ref[pl.ds(off, ET), :, :] = A_pd
+                    afd_ref[pl.ds(off, ET), :, :] = A_fd
+                else:
+                    qacc_des = _pcg(A_pd, rhs_pd_s * R_VAL, Xp, pcg_iters)
+                    tau = jnp.clip(pd_a_s - kd_i_s * dt * qacc_des,
+                                   -R_TL, R_TL) * R_JNT
+                    qacc = _pcg(A_fd, (rhs_b_s + tau) * R_VAL, Xf,
+                                pcg_iters)
+                    qvn = (qveld_s + dt * qacc) * R_VAL
+                    qvnew_ref[pl.ds(off, ET), :] = qvn
                 return carry
 
             jax.lax.fori_loop(0, SUB, sub_body, 0)
+
+            if pcg_vpu:
+                # ---------- full-EL env-major PCG on the VPU ---------------
+                # The batched MXU matvec in _pcg has N=1 (one rhs per env):
+                # ~0.2 % MXU utilization, pure latency. Here the matvec is
+                # an elementwise (EL,NP,NP) multiply + lane reduction —
+                # ~800 full vregs per matvec, no transposes needed.
+                Apd_f = apd_ref[:]
+                Afd_f = afd_ref[:]
+                Xp_f = xp_ref[:]
+                Xf_f = xf_ref[:]
+                vv_f = vecs_ref[:]
+                rhs_pd_f = vv_f[:, 6 * NP:7 * NP]
+                pd_a_f = vv_f[:, 7 * NP:8 * NP]
+                rhs_b_f = vv_f[:, 8 * NP:9 * NP]
+                kd_f = vv_f[:, 9 * NP:10 * NP]
+                qveld_f = vv_f[:, 11 * NP:12 * NP]
+
+                def mv_v(A, x):
+                    return jnp.sum(A * x[:, None, :], axis=-1)
+
+                def pcg_v(A, b, X, iters):
+                    x = mv_v(X, b)
+                    r = b - mv_v(A, x)
+                    z = mv_v(X, r)
+                    pv = z
+                    rz = jnp.sum(r * z, axis=-1, keepdims=True)
+                    for _ in range(iters):
+                        Ap = mv_v(A, pv)
+                        alpha = rz / (jnp.sum(pv * Ap, axis=-1,
+                                              keepdims=True) + 1e-12)
+                        x = x + alpha * pv
+                        r = r - alpha * Ap
+                        z = mv_v(X, r)
+                        rz_new = jnp.sum(r * z, axis=-1, keepdims=True)
+                        beta = rz_new / (rz + 1e-12)
+                        pv = z + beta * pv
+                        rz = rz_new
+                    return x
+
+                qacc_des = pcg_v(Apd_f, rhs_pd_f * R_VAL, Xp_f, pcg_iters)
+                tau = jnp.clip(pd_a_f - kd_f * dt * qacc_des,
+                               -R_TL, R_TL) * R_JNT
+                qacc = pcg_v(Afd_f, (rhs_b_f + tau) * R_VAL, Xf_f,
+                             pcg_iters)
+                qvnew_ref[:] = (qveld_f + dt * qacc) * R_VAL
 
             # ---------- integrate (lane-major; v2 892-915) -----------------
             qvd = _dg(qvnew_ref[:], iel, 0, 0)       # (NP, EL)
@@ -812,6 +867,8 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                 pltpu.VMEM((EL, CW_LIST_LEN * nb), dtype),
                 pltpu.VMEM((EL, NVEC * NP), dtype),
                 pltpu.VMEM((EL, NP), dtype),
+                pltpu.VMEM((EL, NP, NP), dtype),
+                pltpu.VMEM((EL, NP, NP), dtype),
                 pltpu.VMEM((EL, NP, NP), dtype),
                 pltpu.VMEM((EL, NP, NP), dtype),
             ],

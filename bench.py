@@ -70,13 +70,29 @@ def main():
     # (physics + obs + reward; obs/reward are <1% of it).
     use_fused = os.environ.get("BENCH_FUSED", "1") == "1"
     if use_fused:
-        from uhc_tpu.physics.pallas_substep import make_fused_do_simulation
+        if os.environ.get("BENCH_LANE", "1") == "1":
+            # lane-major (v3) kernel with env-major VPU-PCG — the
+            # production training path (envs.humanoid_im
+            # make_env_step_batched) and measured-best config
+            # (PERF.md round-3 table)
+            from uhc_tpu.physics.pallas_lane import \
+                make_fused_do_simulation_lane
 
-        fused = make_fused_do_simulation(
-            topo, cfg, model,
-            pcg_iters=int(os.environ.get("BENCH_PCG", 2)),
-            split=os.environ.get("BENCH_SPLIT", "1") == "1",
-            tail_tile=int(os.environ.get("BENCH_TAIL", 16)))
+            fused = make_fused_do_simulation_lane(
+                topo, cfg, model,
+                env_tile=int(os.environ.get("BENCH_E", 128)),
+                sub_tile=int(os.environ.get("BENCH_SUB", 32)),
+                pcg_iters=int(os.environ.get("BENCH_PCG", 2)),
+                pcg_vpu=os.environ.get("BENCH_PCGV", "1") == "1")
+        else:
+            from uhc_tpu.physics.pallas_substep import \
+                make_fused_do_simulation
+
+            fused = make_fused_do_simulation(
+                topo, cfg, model,
+                pcg_iters=int(os.environ.get("BENCH_PCG", 2)),
+                split=os.environ.get("BENCH_SPLIT", "1") == "1",
+                tail_tile=int(os.environ.get("BENCH_TAIL", 16)))
         tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
 
         @jax.jit

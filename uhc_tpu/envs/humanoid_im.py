@@ -17,6 +17,7 @@ rel_pos read :466) for checkpoint-compatibility.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict
 
 import jax
@@ -845,14 +846,27 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
         use_fast_solver = False
         fused_model = None
     if fused_model is not None:
-        from uhc_tpu.physics.pallas_substep import make_fused_do_simulation
+        # Lane-major (v3) kernel by default for the 24-body SMPL tree —
+        # measured 437k substeps/s vs 301k for the v2 head/tail split
+        # (PERF.md round-3 table). Larger trees (masterfoot 48 / SMPL-H 52)
+        # keep the v2 split: four (128, NP, NP) VMEM scratch buffers at
+        # NP=160 don't fit the v5e VMEM budget. UHC_TPU_LANE=0 forces v2.
+        use_lane = (os.environ.get("UHC_TPU_LANE", "1") == "1"
+                    and topo.nbody <= 32)
+        if use_lane:
+            from uhc_tpu.physics.pallas_lane import \
+                make_fused_do_simulation_lane
 
-        # head/tail split with a 16-env tail tile: the measured-best
-        # configuration (PERF.md round-3 table; the one-program kernel
-        # cannot compile past E=8)
-        fast_sim = make_fused_do_simulation(topo, cfg, fused_model,
-                                            pcg_iters=fused_pcg_iters,
-                                            split=True, tail_tile=16)
+            fast_sim = make_fused_do_simulation_lane(
+                topo, cfg, fused_model, env_tile=128, sub_tile=32,
+                pcg_iters=fused_pcg_iters, pcg_vpu=True)
+        else:
+            from uhc_tpu.physics.pallas_substep import \
+                make_fused_do_simulation
+
+            fast_sim = make_fused_do_simulation(topo, cfg, fused_model,
+                                                pcg_iters=fused_pcg_iters,
+                                                split=True, tail_tile=16)
         fast_sim_takes_model = False
     elif use_fast_solver:
         from uhc_tpu.physics.solver import make_do_simulation

@@ -76,6 +76,7 @@ def test_fk_matches_euler(ball_setup):
     np.testing.assert_allclose(d, 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dynamics_matches_euler(ball_setup):
     """Zero-torque passive dynamics agree across representations: both are
     the same physical system, so world body positions must coincide after a

@@ -75,6 +75,7 @@ def test_set_params_stretches_geometry(base):
                                np.asarray(model.body_pos[o]), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_design_population_is_a_model_library(base):
     """A batch of designs vmaps into a model library usable by the batched
     env step (the Transform2Act use case)."""

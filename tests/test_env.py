@@ -112,6 +112,7 @@ def test_reset_reactive_and_noise(setup):
     assert bool(jnp.all(states.qpos[:, 2] < 1.5))
 
 
+@pytest.mark.slow
 def test_reward_registry_all_finite(setup):
     """Every registered reward family evaluates to a finite [0, +) scalar and
     per-term vector of the documented arity on a post-step state."""
@@ -161,6 +162,7 @@ def test_obs_versions_dims(setup):
         assert bool(jnp.all(jnp.isfinite(obs))), v
 
 
+@pytest.mark.slow
 def test_eval_per_seq_params(setup):
     """fit_uhc protocol: make_eval_fn(per_seq_params=True) runs each
     sequence under its own stacked policy/ZFilter (cli/eval.py

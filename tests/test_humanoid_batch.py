@@ -1,6 +1,8 @@
 """Humanoid_Batch (camera-projection fitting) tests."""
 import numpy as np
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -35,6 +37,7 @@ def test_fk_batch_zero_pose_matches_offsets():
                                expected[1:], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_proj_losses_finite_and_differentiable():
     offsets = _setup()
     K = jnp.asarray([[1000.0, 0, 960], [0, 1000.0, 540], [0, 0, 1]])

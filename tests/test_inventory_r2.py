@@ -13,6 +13,7 @@ from uhc_tpu.config.config import Config
 from uhc_tpu.learn import nets
 
 
+@pytest.mark.slow
 def test_transformer_policy():
     """uhc/models/tf_policy.py:11 PolicyTransformer twin: token-per-body
     encoder, per-token joint heads + pooled global head."""
@@ -84,6 +85,7 @@ def test_eval_imitation_cli(tmp_path):
     assert summary["coverage"] == 1
 
 
+@pytest.mark.slow
 def test_obj_pose_library(humanoid_setup):
     """Object-scene track (dataset_smpl_obj.py): per-frame obj qpos stored
     in the expert library and gathered per frame."""

@@ -47,6 +47,7 @@ def test_step_ar_identity(setup):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_kin_env_step_and_rewards(setup):
     """Full hierarchical step with a dummy frozen controller; every UHM
     reward evaluates finite on the post-step state."""

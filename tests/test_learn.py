@@ -108,6 +108,7 @@ def test_dryrun_multichip():
     m.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_nn_zoo_remnants():
     """ERD / CMLP / SimpleCNN / ResNet-feat / VideoStateNet shapes
     (khrylib/models inventory, SURVEY.md §2.3 "NN zoo")."""

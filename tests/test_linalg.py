@@ -1,6 +1,8 @@
 """Blocked batched Cholesky vs numpy reference."""
 import numpy as np
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +26,7 @@ def test_blocked_cholesky_solve():
         np.testing.assert_allclose(np.asarray(x), want, rtol=2e-2, atol=6e-3)
 
 
+@pytest.mark.slow
 def test_blocked_cholesky_matrix_rhs():
     rng = np.random.default_rng(1)
     A = rand_spd(rng, 2, 75)
@@ -34,6 +37,7 @@ def test_blocked_cholesky_matrix_rhs():
     np.testing.assert_allclose(np.asarray(X), want, rtol=2e-2, atol=6e-3)
 
 
+@pytest.mark.slow
 def test_blocked_cholesky_factor_matches():
     rng = np.random.default_rng(2)
     A = rand_spd(rng, 3, 80)

@@ -59,6 +59,7 @@ def test_capsule_model(base):
     assert np.all(np.asarray(cap.contact_mask).sum(-1) == 2)
 
 
+@pytest.mark.slow
 def test_remove_toe_steps(base):
     topo, model = base
     topo2, model2 = remove_toe_model(topo, model)

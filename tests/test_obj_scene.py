@@ -64,6 +64,7 @@ def test_reset_and_step_follow_track(obj_setup):
     assert not np.allclose(obj[0], obj[3])
 
 
+@pytest.mark.slow
 def test_batched_step_carries_obj(obj_setup):
     from uhc_tpu.envs import humanoid_im as H
 

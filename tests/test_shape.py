@@ -107,6 +107,7 @@ def test_shape_guard_raises(shaped):
         H.get_obs(topo, m1, cfg, state, bare)
 
 
+@pytest.mark.slow
 def test_batched_step_with_model_lib(shaped):
     topo, model, cfg, lib, keys, model_lib = shaped
     jpw, bdw = default_diff_weights()

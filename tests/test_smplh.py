@@ -69,6 +69,7 @@ def test_model_tables(smplh):
     assert jpw[topo.body_names.index("L_Toe")] == 0.0
 
 
+@pytest.mark.slow
 def test_smplh_expert_library_and_step(smplh):
     topo, model = smplh
     T = 12
@@ -117,6 +118,7 @@ def test_smplh_accepts_plain_smpl_poses(smplh):
     assert bool(jnp.all(jnp.isfinite(qpos)))
 
 
+@pytest.mark.slow
 def test_smplx_family(smplh):
     """SMPL-X 55-body extension (smpl_parser.py:97 SMPLX_BONE_ORDER_NAMES):
     SMPL-H + Jaw + eyes off the Head."""

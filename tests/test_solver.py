@@ -17,6 +17,7 @@ XML = "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
 NEUTRAL = "/root/reference/sample_data/standing_neutral.pkl"
 
 
+@pytest.mark.slow
 def test_pcg_solver_matches_direct():
     rng = np.random.default_rng(0)
     X = rng.normal(size=(8, 75, 75)).astype(np.float32)

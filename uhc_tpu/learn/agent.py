@@ -347,20 +347,43 @@ class CopycatAgent:
             # resume-safe: a fresh (short) run must not clobber a better
             # iter_best.p from a previous run
             self._best_coverage = self._read_best_coverage()
-        if cov >= self._best_coverage:
+        # A later epoch of THIS run may refresh iter_best.p at equal
+        # coverage; a fresh run must strictly beat a pre-existing best
+        # (agent_copycat.py:216-236 semantics, plus resume safety).
+        if cov > self._best_coverage or (
+                cov == self._best_coverage and self._owns_best):
             self._best_coverage = cov
+            self._owns_best = True
             self.save_checkpoint(self.epoch, name="iter_best.p",
                                  extra={"coverage": cov})
         return res
+
+    _owns_best = False
 
     def _read_best_coverage(self):
         path = os.path.join(self.results_dir, "models", "iter_best.p")
         if os.path.exists(path):
             try:
                 with open(path, "rb") as f:
-                    return pickle.load(f).get("coverage", 0)
+                    cov = pickle.load(f).get("coverage")
+                if cov is not None:
+                    return cov
             except Exception:
-                return 0
+                pass
+            # Legacy iter_best.p without a coverage key: recover the best
+            # coverage from the committed eval_*.json history so a fresh
+            # coverage-0 run cannot clobber a good checkpoint.
+            import glob as _glob
+            import json as _json
+            best = 0
+            for fn in _glob.glob(os.path.join(self.results_dir,
+                                              "eval_*.json")):
+                try:
+                    with open(fn) as f:
+                        best = max(best, _json.load(f).get("coverage", 0))
+                except Exception:
+                    continue
+            return best
         return -1
 
     # -- checkpointing (pickle, like the reference iter_%04d.p) -------------

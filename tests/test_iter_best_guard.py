@@ -62,3 +62,17 @@ def test_fresh_run_cannot_tie_clobber(tmp_path):
     stub._owns_best = True
     owner_writes = cov > best or (cov == best and stub._owns_best)
     assert owner_writes
+
+
+def test_sampler_resume_across_library_sizes():
+    """Warm-starting a larger clip library from a smaller run's checkpoint
+    must not crash the hard-mining sampler (records padded/truncated)."""
+    from uhc_tpu.data.sampling import FailureFrequencySampler
+    small = FailureFrequencySampler(3)
+    small.records[1].append(1.0)
+    big = FailureFrequencySampler(5)
+    big.load_state_dict(small.state_dict())
+    assert len(big.records) == 5 and big.logits().shape == (5,)
+    tiny = FailureFrequencySampler(2)
+    tiny.load_state_dict(small.state_dict())
+    assert len(tiny.records) == 2 and tiny.logits().shape == (2,)

@@ -158,9 +158,11 @@ def apply_heading(qpos_seq, yaw_rate):
 
 
 def make_walk(topo, base_qpos, T=240, f=1.4, hipA=0.42, kneeA=0.62,
-              ankleA=0.18, armA=0.28, side=0.0):
+              ankleA=0.18, armA=0.28, side=0.0, crouch=0.0):
     """Sagittal walk: hip/knee/ankle sinusoids, arms counter-swing.
-    `side`>0 turns the gait into lateral stepping."""
+    `side`≠0 turns the gait into lateral stepping (sign = direction);
+    `hipA`<0 reverses the stride (backward walk); `crouch`>0 adds a
+    constant knee/hip flexion (crouched gait)."""
     js = joint_slices(topo)
     t = np.arange(T) / FPS
     ph = 2 * np.pi * f * t
@@ -175,17 +177,23 @@ def make_walk(topo, base_qpos, T=240, f=1.4, hipA=0.42, kneeA=0.62,
         # SMPL local frames: leg flexion is rotation about the x axis
         # (z-y-x euler triples; x is the last entry)
         q[:, js[f"{s}_Hip"].start + 2] += -hipA * swing
-        if side > 0:  # lateral stepping: abduct instead of flex
+        if side != 0.0:  # lateral stepping: abduct instead of flex
             q[:, js[f"{s}_Hip"].start + 2] += hipA * swing  # undo
             q[:, js[f"{s}_Hip"].start + 1] += \
                 side * swing * (1 if s == "L" else -1)
-        q[:, js[f"{s}_Knee"].start + 2] += kneeA * lift
+        q[:, js[f"{s}_Knee"].start + 2] += abs(kneeA) * lift
         q[:, js[f"{s}_Ankle"].start + 2] += \
             -ankleA * np.sin(ph + sign - np.pi / 4)
+        if crouch > 0.0:
+            q[:, js[f"{s}_Hip"].start + 2] += -0.6 * crouch
+            q[:, js[f"{s}_Knee"].start + 2] += 1.2 * crouch
+            q[:, js[f"{s}_Ankle"].start + 2] += -0.45 * crouch
         arm = "L" if s == "R" else "R"
         q[:, js[f"{arm}_Shoulder"].start + 2] += armA * swing
         q[:, js[f"{arm}_Elbow"].start + 2] += 0.3 * armA * np.clip(
             swing, 0, None)
+    if crouch > 0.0:
+        q[:, js["Torso"].start + 2] += 0.2 * crouch
     return q, stance_w
 
 
@@ -237,6 +245,10 @@ def to_smpl(qpos_seq, model):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="sample_data/gait_clips.pkl")
+    p.add_argument("--extended", action="store_true",
+                   help="19-clip library (speeds, directions, turn rates, "
+                        "crouch, squat/march variants) instead of the "
+                        "6-clip core suite")
     args = p.parse_args()
 
     import joblib
@@ -260,6 +272,29 @@ def main():
         "squat": lambda: anchor_root(topo, model, make_squat(topo, base)),
         "march": march,
     }
+    if args.extended:
+        specs.update({
+            "walk_fast": lambda: walk(f=1.8, hipA=0.5, kneeA=0.7,
+                                      armA=0.35),
+            "jog": lambda: walk(f=2.2, hipA=0.55, kneeA=0.95, armA=0.45),
+            "walk_stride": lambda: walk(f=1.1, hipA=0.55, kneeA=0.7),
+            "walk_turn_right": lambda: apply_heading(walk(),
+                                                     yaw_rate=-0.5),
+            "walk_turn_sharp": lambda: apply_heading(walk(f=1.2),
+                                                     yaw_rate=0.9),
+            "walk_backward": lambda: walk(hipA=-0.35, kneeA=0.5),
+            "walk_crouch": lambda: walk(f=1.2, hipA=0.35, crouch=0.45),
+            "side_step_right": lambda: walk(hipA=0.22, side=-0.3),
+            "side_step_wide": lambda: walk(f=1.1, hipA=0.25, side=0.45),
+            "squat_deep": lambda: anchor_root(
+                topo, model, make_squat(topo, base, depth=1.2, f=0.4)),
+            "squat_fast": lambda: anchor_root(
+                topo, model, make_squat(topo, base, depth=0.7, f=0.8)),
+            "march_fast": lambda: anchor_root(
+                topo, model, *make_march(topo, base, f=2.0)),
+            "march_low": lambda: anchor_root(
+                topo, model, *make_march(topo, base, hipA=0.5, kneeA=0.6)),
+        })
     for key, fn in specs.items():
         q = fn()
         aa, trans = to_smpl(q, model)

@@ -60,4 +60,10 @@ class FailureFrequencySampler:
         return {"records": self.records}
 
     def load_state_dict(self, d):
-        self.records = d["records"]
+        recs = [list(r) for r in d["records"]]
+        # Resume-safe across library-size changes (e.g. warm-starting a
+        # larger clip library from a smaller run's checkpoint): keep the
+        # overlapping histories, start fresh ones empty.
+        if len(recs) < self.num_seqs:
+            recs += [[] for _ in range(self.num_seqs - len(recs))]
+        self.records = recs[:self.num_seqs]

@@ -722,11 +722,13 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                     z = mv_v(X, r)
                     pv = z
                     rz = jnp.sum(r * z, axis=-1, keepdims=True)
-                    for _ in range(iters):
+                    for it in range(iters):
                         Ap = mv_v(A, pv)
                         alpha = rz / (jnp.sum(pv * Ap, axis=-1,
                                               keepdims=True) + 1e-12)
                         x = x + alpha * pv
+                        if it + 1 == iters:
+                            break  # final r/z/beta are dead work
                         r = r - alpha * Ap
                         z = mv_v(X, r)
                         rz_new = jnp.sum(r * z, axis=-1, keepdims=True)

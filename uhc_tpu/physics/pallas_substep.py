@@ -261,10 +261,12 @@ def _pcg(A, b, X, iters):
     z = _mv_pre(X, r)
     p = z
     rz = jnp.sum(r * z, axis=-1, keepdims=True)
-    for _ in range(iters):
+    for it in range(iters):
         Ap = _mv(A, p)
         alpha = rz / (jnp.sum(p * Ap, axis=-1, keepdims=True) + 1e-12)
         x = x + alpha * p
+        if it + 1 == iters:
+            break  # r/z/beta of the final iteration are dead work
         r = r - alpha * Ap
         z = _mv_pre(X, r)
         rz_new = jnp.sum(r * z, axis=-1, keepdims=True)

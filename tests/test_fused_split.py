@@ -94,3 +94,42 @@ def test_lane_kernel_parity_interpret():
     q2, v2 = lane_v(qp, qv, act, tb, 1.0)
     assert float(jnp.max(jnp.abs(q2 - q_ref))) < 1e-5
     assert float(jnp.max(jnp.abs(v2 - v_ref))) < 1e-3
+
+
+@pytest.mark.slow
+def test_lane_kernel_big_tree_interpret():
+    """Lane kernel on a >32-body tree (masterfoot, NP=160): pcg_vpu off,
+    env-major per-sub-tile solves, A-staging scratch skipped. Parity vs
+    the XLA solver path (the round-3 routing sends masterfoot/SMPL-H
+    through this configuration)."""
+    from uhc_tpu.physics.pallas_lane import make_fused_do_simulation_lane
+    from uhc_tpu.smpl.masterfoot import masterfoot_model
+
+    topo24, model24 = load_mjcf_humanoid(XML)
+    topo, model, _ = masterfoot_model(topo24, model24)
+    model = model_to_dtype(model, jnp.float32)
+    assert topo.nbody == 48
+
+    seqs = load_motion_file(NEUTRAL)
+    lib24, _ = build_expert_library(topo24, model24, seqs, max_len=4)
+    # masterfoot qpos = 24-body qpos + zeros for the sole sub-bodies
+    B = 8
+    rng = jax.random.PRNGKey(1)
+    pad = jnp.zeros((topo.nq - topo24.nq,))
+    qp = jnp.tile(jnp.concatenate([lib24["qpos"][0, 0], pad])[None], (B, 1))
+    qv = 0.03 * jax.random.normal(rng, (B, topo.nv))
+    tb = qp[:, 7:]
+
+    cfg = EnvConfig(self_collision=True)
+    nd, vf, meta = H.action_dims(topo, cfg)
+    act = 0.02 * jax.random.normal(rng, (B, nd + vf + meta))
+
+    sim = S.make_do_simulation(topo, cfg, pcg_iters=3)
+    q_ref, v_ref = sim(model, qp, qv, act, tb, 1.0)
+
+    lane = make_fused_do_simulation_lane(topo, cfg, model, env_tile=8,
+                                         sub_tile=8, pcg_iters=3,
+                                         interpret=True, pcg_vpu=False)
+    q1, v1 = lane(qp, qv, act, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q1 - q_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(v1 - v_ref))) < 1e-3

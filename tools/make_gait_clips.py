@@ -245,11 +245,19 @@ def to_smpl(qpos_seq, model):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="sample_data/gait_clips.pkl")
+    p.add_argument("--tpu", action="store_true",
+                   help="run the FK on the TPU (default: host CPU — this "
+                        "jax build ignores JAX_PLATFORMS, so the CPU "
+                        "backend must be forced in-process)")
     p.add_argument("--extended", action="store_true",
                    help="19-clip library (speeds, directions, turn rates, "
                         "crouch, squat/march variants) instead of the "
                         "6-clip core suite")
     args = p.parse_args()
+
+    if not args.tpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import joblib
 

@@ -41,6 +41,9 @@ def main():
                         "52-body family on configs that lack the key)")
     p.add_argument("--smpl-data", default=None,
                    help="SMPL model pkl/npz for shape-conditioned training")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace (XProf/TensorBoard "
+                        "format) of epochs 2-4 into DIR")
     args = p.parse_args()
 
     import jax
@@ -94,7 +97,14 @@ def main():
 
     epochs = args.epochs if args.epochs is not None else cfg.num_epoch
     for i in range(args.epoch, epochs):
+        # profile a steady-state window (epoch 0/1 are compile-dominated)
+        if args.profile and i == args.epoch + 2:
+            jax.profiler.start_trace(args.profile)
         stats = agent.optimize_policy(i)
+        if args.profile and i == args.epoch + 4:
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace (epochs {args.epoch + 2}-"
+                        f"{args.epoch + 4}) -> {args.profile}")
         sink.log(i, {k: v for k, v in stats.items()
                      if isinstance(v, (int, float))
                      or getattr(v, "ndim", 1) == 0})

@@ -846,20 +846,28 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
         use_fast_solver = False
         fused_model = None
     if fused_model is not None:
-        # Lane-major (v3) kernel by default for the 24-body SMPL tree —
-        # measured 437k substeps/s vs 301k for the v2 head/tail split
-        # (PERF.md round-3 table). Larger trees (masterfoot 48 / SMPL-H 52)
-        # keep the v2 split: four (128, NP, NP) VMEM scratch buffers at
-        # NP=160 don't fit the v5e VMEM budget. UHC_TPU_LANE=0 forces v2.
+        # Lane-major (v3) kernel by default — measured 437k substeps/s vs
+        # 301k for the v2 head/tail split (PERF.md round-3 table). The
+        # 24-body SMPL tree gets the full production config (VPU-PCG over
+        # EL=128, ET=32). Larger trees (masterfoot 48 / SMPL-H 52, NP=160)
+        # drop the deferred VPU-PCG — its two extra (128, NP, NP) staging
+        # buffers don't fit the v5e VMEM budget at NP=160 — and solve
+        # env-major per ET=8 sub-tile instead. UHC_TPU_LANE=0 forces v2
+        # everywhere; UHC_TPU_LANE_BIG=0 forces v2 for >32-body trees only.
         use_lane = (os.environ.get("UHC_TPU_LANE", "1") == "1"
-                    and topo.nbody <= 32)
+                    and (topo.nbody <= 32
+                         or (topo.nbody <= 52
+                             and os.environ.get("UHC_TPU_LANE_BIG",
+                                                "1") == "1")))
         if use_lane:
             from uhc_tpu.physics.pallas_lane import \
                 make_fused_do_simulation_lane
 
+            big = topo.nbody > 32
             fast_sim = make_fused_do_simulation_lane(
-                topo, cfg, fused_model, env_tile=128, sub_tile=32,
-                pcg_iters=fused_pcg_iters, pcg_vpu=True)
+                topo, cfg, fused_model, env_tile=128,
+                sub_tile=8 if big else 32,
+                pcg_iters=fused_pcg_iters, pcg_vpu=not big)
         else:
             from uhc_tpu.physics.pallas_substep import \
                 make_fused_do_simulation

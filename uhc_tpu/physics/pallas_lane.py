@@ -871,8 +871,12 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                 pltpu.VMEM((EL, NP), dtype),
                 pltpu.VMEM((EL, NP, NP), dtype),
                 pltpu.VMEM((EL, NP, NP), dtype),
-                pltpu.VMEM((EL, NP, NP), dtype),
-                pltpu.VMEM((EL, NP, NP), dtype),
+                # A_pd/A_fd staging exists only for the deferred full-EL
+                # VPU-PCG; without it the refs are never touched, and
+                # skipping the two (EL,NP,NP) buffers is what lets large
+                # trees (masterfoot NP=160) fit the v5e VMEM budget.
+                pltpu.VMEM((EL, NP, NP) if pcg_vpu else (8, 128), dtype),
+                pltpu.VMEM((EL, NP, NP) if pcg_vpu else (8, 128), dtype),
             ],
             compiler_params=cparams,
             interpret=interpret,

@@ -30,3 +30,10 @@ TIMEOUT=16200 run dyn19 --cfg uhc_implicit \
 TIMEOUT=7200 run shape600 --cfg uhc_implicit_shape \
   --num-envs 1024 --horizon 32 --epoch 150 --epochs 600 \
   --results-dir results/uhc_implicit_shape
+
+# 3. kinematic-policy (UHM) stack end-to-end on the frozen copycat
+#    controller — first committed training evidence for §2.4 AgentUHM
+TIMEOUT=7200 run uhm --cfg uhm_1 --agent uhm \
+  --cc-checkpoint results/uhc_implicit/models/iter_best.p \
+  --num-envs 256 --horizon 24 --epochs 100 \
+  --results-dir results/uhm_1

@@ -268,9 +268,10 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             """Masked ancestor contraction Σ_b Am[b,p]·w[b,e] -> (NP, EL)."""
             return _dg(K_AM, w, 0, 0)
 
+        K_S3 = cs[0:3 * nb]  # [Sz; Sy; Sx] stacked: one (3nb,NP) contraction
+
         def dofify(za, ya, xa):
-            return (_dg(K_SZ, za, 0, 0) + _dg(K_SY, ya, 0, 0)
-                    + _dg(K_SX, xa, 0, 0))
+            return _dg(K_S3, jnp.concatenate([za, ya, xa], axis=0), 0, 0)
 
         root = root_ref[:]          # (16, EL)
         jz0, jy0, jx0 = jz_ref[:], jy_ref[:], jx_ref[:]
@@ -584,16 +585,18 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             rhs_base = qfrc_app + qfrc_con + qfrc_lim + qfrc_damp - C_bias
 
             # ---------- handoff to env-major scratch -----------------------
+            # One transpose matmul per scratch buffer instead of one per
+            # array: T_env(concat(axis=0)) == concat(T_env(·), axis=1)
+            # element-for-element (identity contraction), but dispatches a
+            # single large MXU op.
             cw_list = [cx_, cy_, cz_, sa, sb, sarx, sary, sarz, sbrx, sbry,
                        arz2, arx2, ary2, arxz, aryz, brx2, bry2, brxy,
                        Iw[0][0], Iw[0][1], Iw[0][2], Iw[1][1], Iw[1][2],
                        Iw[2][2]]
-            coordw_ref[:] = jnp.concatenate([T_env(a) for a in cw_list],
-                                            axis=1)
+            coordw_ref[:] = T_env(jnp.concatenate(cw_list, axis=0))
             vec_list = [axd[0], axd[1], axd[2], anc[0], anc[1], anc[2],
                         rhs_pd, pd_a, rhs_base, kd_i, lim_damp, qveld]
-            vecs_ref[:] = jnp.concatenate([T_env(v) for v in vec_list],
-                                          axis=1)
+            vecs_ref[:] = T_env(jnp.concatenate(vec_list, axis=0))
 
             # ---------- env-major sub-tile loop ----------------------------
             def sub_body(i, carry):

@@ -37,3 +37,10 @@ TIMEOUT=7200 run uhm --cfg uhm_1 --agent uhm \
   --cc-checkpoint results/uhc_implicit/models/iter_best.p \
   --num-envs 256 --horizon 24 --epochs 100 \
   --results-dir results/uhm_1
+
+# 4. batched deterministic eval of the kinematic policy (eval_relive twin)
+echo "--- eval_relive ($(date)) ---" >> $LOG
+timeout 3600 python -m uhc_tpu.cli.eval_relive --cfg uhm_1 --epoch 100 \
+  --cc-checkpoint results/uhc_implicit/models/iter_best.p \
+  --results-dir results/uhm_1 >> $LOG 2>&1
+echo "--- eval_relive done rc=$? ($(date)) ---" >> $LOG

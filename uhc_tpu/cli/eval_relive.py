@@ -34,6 +34,8 @@ def main():
                    default="/root/reference/sample_data/standing_neutral.pkl")
     p.add_argument("--max-seq-len", type=int, default=None)
     p.add_argument("--dump", default=None)
+    p.add_argument("--results-dir", default=None,
+                   help="checkpoint directory (default results/uhm_<cfg>)")
     args = p.parse_args()
 
     import numpy as np
@@ -52,7 +54,8 @@ def main():
         cfg = Config(cfg_id=args.cfg)
 
     agent = UHMAgent(cfg, args.data, cc_checkpoint_path=args.cc_checkpoint,
-                     num_envs=1, horizon=1, max_seq_len=args.max_seq_len)
+                     num_envs=1, horizon=1, max_seq_len=args.max_seq_len,
+                     results_dir=args.results_dir)
     agent.load_checkpoint(args.epoch)
 
     lib = agent.context_lib

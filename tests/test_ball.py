@@ -140,3 +140,23 @@ def test_obs_v2_quat_dim_and_step(ball_setup):
     # joint quats stay normalized through integration
     jn = jnp.linalg.norm(state2.qpos[7:].reshape(23, 4), axis=1)
     np.testing.assert_allclose(np.asarray(jn), 1.0, atol=1e-4)
+
+
+def test_vertices_from_ball_qpos():
+    """Regression: the vertex-metric path must invert BALL qpos (quats,
+    nq=99) via qpos_ball_to_smpl — it crashed reshaping (T, 92) into
+    euler (T, 23, 3) when copycat_ball_1 (has_shape: true) hit eval."""
+    import numpy as np
+    from uhc_tpu.learn.metrics import vertices_from_qpos
+    from uhc_tpu.smpl.lbs import synthetic_smpl_data
+
+    smpl = synthetic_smpl_data()
+    T = 3
+    qpos = np.zeros((T, 99), np.float32)
+    qpos[:, 2] = 0.92
+    qpos[:, 3] = 1.0                      # root quat w
+    qpos[:, 7::4] = 1.0                   # every joint quat = identity
+    verts = vertices_from_qpos(qpos, smpl, np.zeros(16, np.float32),
+                               np.zeros(3, np.float32))
+    assert verts.shape[0] == T and verts.shape[2] == 3
+    assert np.isfinite(verts).all()

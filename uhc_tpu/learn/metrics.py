@@ -168,11 +168,12 @@ def vertices_from_qpos(pred_qpos: np.ndarray, smpl_data, betas,
     import jax
     import jax.numpy as jnp
 
-    from uhc_tpu.smpl.convert import qpos_to_smpl
+    from uhc_tpu.smpl.convert import qpos_ball_to_smpl, qpos_to_smpl
     from uhc_tpu.smpl.lbs import lbs
 
-    pose_aa, trans = qpos_to_smpl(jnp.asarray(pred_qpos),
-                                  jnp.asarray(root_offset))
+    # euler family: 3 + 4 + 23*3 = 76; ball family: 3 + 4 + 23*4 = 99
+    inv = qpos_ball_to_smpl if pred_qpos.shape[-1] == 99 else qpos_to_smpl
+    pose_aa, trans = inv(jnp.asarray(pred_qpos), jnp.asarray(root_offset))
     betas = jnp.asarray(betas)
     verts, _ = jax.vmap(lambda p, t: lbs(smpl_data, p, betas, t))(
         pose_aa, trans)

@@ -29,6 +29,12 @@ anyway) and handed over as its 6 unique entries.
 Scope restrictions match v2: implicit (or no) RFC, plain/meta PD (no
 meta_pd_joint), shared model, optional self-collision (lane-packed combo
 rows here). Callers fall back to `uhc_tpu.physics.solver` otherwise.
+
+Tree size: the 24-body SMPL tree (NP=80) runs the full production config
+(pcg_vpu=True, ET=32). Large trees (masterfoot 48 / SMPL-H 52, NP=160)
+run with pcg_vpu=False — the two (EL,NP,NP) A-staging buffers the deferred
+VPU-PCG needs are only allocated when it is on, and skipping them is what
+fits NP=160 in v5e VMEM; the solves then run env-major per ET=8 sub-tile.
 """
 from __future__ import annotations
 

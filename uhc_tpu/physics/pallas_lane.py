@@ -270,10 +270,6 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             """(d, EL) -> (EL, d) via MXU identity (exact in f32)."""
             return _dg(iel, x, 1, 1)
 
-        def D(w):
-            """Masked ancestor contraction Σ_b Am[b,p]·w[b,e] -> (NP, EL)."""
-            return _dg(K_AM, w, 0, 0)
-
         K_S3 = cs[0:3 * nb]  # [Sz; Sy; Sx] stacked: one (3nb,NP) contraction
 
         def dofify(za, ya, xa):
@@ -419,19 +415,35 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             one_lin = 1.0 - T_LIN
             cbod = (cx_, cy_, cz_)
 
-            def dot_Jl(k, w):
-                k1, k2 = (k + 1) % 3, (k + 2) % 3
-                Dw = D(w)
-                t1 = D(w * cbod[k2]) - anc[k2] * Dw
-                t2 = D(w * cbod[k1]) - anc[k1] * Dw
-                return T_LIN * axd[k] * Dw + one_lin * (axd[k1] * t1
-                                                        - axd[k2] * t2)
+            def dot_J6(wl, wa):
+                """Σ_k Jlᵀ[k]·wl[k] + Jaᵀ[k]·wa[k] — the generalized
+                projection of a per-body wrench — with ONE batched
+                ancestor contraction: the 12 D-inputs ride the lane axis
+                of a single (nb,NP)ᵀ(nb,12·EL) matmul instead of 12
+                dispatches (dispatch latency dominates at this size)."""
+                arrs = []
+                for k in range(3):
+                    k1, k2 = (k + 1) % 3, (k + 2) % 3
+                    arrs += [wl[k], wl[k] * cbod[k2], wl[k] * cbod[k1],
+                             wa[k]]
+                G = _dg(K_AM, jnp.concatenate(arrs, axis=1), 0, 0)
+                total = None
+                for k in range(3):
+                    k1, k2 = (k + 1) % 3, (k + 2) % 3
+                    o = 4 * k * EL
+                    Dw = G[:, o:o + EL]
+                    Dc2 = G[:, o + EL:o + 2 * EL]
+                    Dc1 = G[:, o + 2 * EL:o + 3 * EL]
+                    Da = G[:, o + 3 * EL:o + 4 * EL]
+                    t1 = Dc2 - anc[k2] * Dw
+                    t2 = Dc1 - anc[k1] * Dw
+                    term = (T_LIN * axd[k] * Dw
+                            + one_lin * (axd[k1] * t1 - axd[k2] * t2)
+                            + one_lin * axd[k] * Da)
+                    total = term if total is None else total + term
+                return total
 
-            def dot_Ja(k, w):
-                return one_lin * axd[k] * D(w)
-
-            C_bias = sum(dot_Jl(k, fb[k]) + dot_Ja(k, tb_b[k])
-                         for k in range(3))
+            C_bias = dot_J6(fb, tb_b)
 
             # ---------- ground contacts (nb, K, EL) ------------------------
             q3 = [t[:, None, :] for t in (qw, qx_, qy_, qz_)]
@@ -476,7 +488,8 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             brx2 = jnp.sum(bco * rxc * rxc, 1)
             bry2 = jnp.sum(bco * ryc * ryc, 1)
             brxy = jnp.sum(bco * rxc * ryc, 1)
-            qfrc_con = dot_Jl(2, Fz) + dot_Ja(0, Tx) + dot_Ja(1, Ty)
+            zw = jnp.zeros_like(Fz)
+            qfrc_con = dot_J6([zw, zw, Fz], [Tx, Ty, zw])
 
             # damping rhs via the same contraction trick (v2 755-768)
             v6l = [vl[k] + _cross(om, r_ip)[k] for k in range(3)]
@@ -487,13 +500,13 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             Waa = [[arz2 + bry2, -brxy, -arxz],
                    [-brxy, arz2 + brx2, -aryz],
                    [-arxz, -aryz, arx2 + ary2]]
-            qfrc_damp = jnp.zeros_like(C_bias)
+            wls, was = [], []
             for cj in range(3):
-                wl = (sum(Wll[ci][cj] * v6l[ci] for ci in range(3))
-                      + sum(Wla[cj][ci] * om[ci] for ci in range(3)))
-                wa = (sum(Wla[ci][cj] * v6l[ci] for ci in range(3))
-                      + sum(Waa[ci][cj] * om[ci] for ci in range(3)))
-                qfrc_damp = qfrc_damp - dot_Jl(cj, wl) - dot_Ja(cj, wa)
+                wls.append(sum(Wll[ci][cj] * v6l[ci] for ci in range(3))
+                           + sum(Wla[cj][ci] * om[ci] for ci in range(3)))
+                was.append(sum(Wla[ci][cj] * v6l[ci] for ci in range(3))
+                           + sum(Waa[ci][cj] * om[ci] for ci in range(3)))
+            qfrc_damp = -dot_J6(wls, was)
 
             # ---------- self-collision (lane-packed combo rows) ------------
             if use_sc:
@@ -546,9 +559,7 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                          for c in range(3)]
                 Tbody = [_dg(K_PA, Ta[c], 1, 0) + _dg(K_PB, Tb[c], 1, 0)
                          for c in range(3)]
-                qfrc_con = qfrc_con + sum(
-                    dot_Jl(c, Fbody[c]) + dot_Ja(c, Tbody[c])
-                    for c in range(3))
+                qfrc_con = qfrc_con + dot_J6(Fbody, Tbody)
 
             # ---------- joint limits / PD prep (NP, EL) --------------------
             qd = dofify(jz, jy, jx)

@@ -39,8 +39,10 @@ def root_orientation_loss(gt_pose, pred_pose):
 
 
 def end_effector_pos_loss(gt_pos, pred_pos):
-    d = (gt_pos - pred_pos).reshape(gt_pos.shape[:-1] + (-1,)) \
-        if gt_pos.ndim == pred_pos.ndim else gt_pos - pred_pos
+    # reference flattens everything past the batch axis before summing
+    # (loss_function.py:139 `.reshape(gt_pos.shape[0], -1)`), so a
+    # (B, n_ee, 3) input yields one scalar per batch row
+    d = (gt_pos - pred_pos).reshape(gt_pos.shape[0], -1)
     return jnp.sum(d ** 2, axis=-1)
 
 

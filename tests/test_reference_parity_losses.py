@@ -7,7 +7,7 @@ import pytest
 
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")
 
 torch = pytest.importorskip("torch")
 lf = pytest.importorskip("uhc.losses.loss_function")

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from uhc_tpu import maths as M
 
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")
 
 mu = pytest.importorskip("uhc.utils.math_utils")
 tf = pytest.importorskip("uhc.utils.transformation")

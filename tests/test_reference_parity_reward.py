@@ -17,7 +17,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")
 
 rf = pytest.importorskip("uhc.losses.reward_function")
 

@@ -10,7 +10,7 @@ import pytest
 
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")
 
 torch = pytest.importorskip("torch")
 common = pytest.importorskip("uhc.khrylib.rl.core.common")

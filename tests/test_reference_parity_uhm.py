@@ -14,7 +14,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")
 
 ur = pytest.importorskip("uhc.losses.uhm_rewards")
 

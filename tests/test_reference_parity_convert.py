@@ -88,3 +88,47 @@ def test_smpl_to_qpose_matches_reference():
         assert d < 1e-5
     # joint eulers (ZYX intrinsic, smpl->mujoco order)
     np.testing.assert_allclose(q[:, 7:], ref_qpos[:, 7:], atol=1e-5)
+
+
+def test_qpos_to_smpl_matches_reference():
+    """Inverse conversion: exec the reference's qpos_to_smpl (euler-ZYX ->
+    rotvec per bone, mujoco->smpl reorder, offset-removed trans)."""
+    import jax.numpy as jnp
+
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+
+    tree = ast.parse(open(SRC).read())
+    fn = next(n for n in tree.body if isinstance(n, ast.FunctionDef)
+              and n.name == "qpos_to_smpl")
+    ns = {"np": np, "sRot": sRot,
+          "SMPL_BONE_ORDER_NAMES": list(SMPL_BONE_ORDER_NAMES),
+          "SMPLH_BONE_ORDER_NAMES": []}
+    qaddr = {"Pelvis": (0, 7)}
+    for i, name in enumerate(topo.body_names[1:]):
+        qaddr[name] = (7 + 3 * i, 7 + 3 * (i + 1))
+    ns["get_body_qposaddr"] = lambda m: qaddr
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), SRC, "exec"), ns)
+
+    root_offset = np.asarray(jax.device_get(model.body_pos))[0]
+    mj_model = types.SimpleNamespace(
+        body_pos=np.vstack([np.zeros(3), root_offset]))
+
+    rng = np.random.RandomState(13)
+    T = 6
+    qpos = rng.randn(T, 76)
+    qpos[:, 3:7] /= np.linalg.norm(qpos[:, 3:7], axis=1, keepdims=True)
+    qpos[:, 7:] = np.clip(qpos[:, 7:], -1.3, 1.3)
+
+    ref_pose, ref_trans = ns["qpos_to_smpl"](qpos.copy(), mj_model)
+
+    from uhc_tpu.smpl.convert import qpos_to_smpl as ours
+    import jax.numpy as jnp
+    aa, trans = ours(jnp.asarray(qpos, jnp.float32),
+                     jnp.asarray(root_offset))
+    aa = np.asarray(jax.device_get(aa))
+    np.testing.assert_allclose(np.asarray(jax.device_get(trans)),
+                               ref_trans, atol=1e-5)
+    # rotvec comparison: v and the 2pi-complement represent the same
+    # rotation; inputs here stay under pi so direct comparison holds
+    np.testing.assert_allclose(aa, ref_pose, atol=1e-4)

@@ -20,8 +20,20 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: re-running the suite must not re-jit the
 # large env/physics programs (VERDICT r1: suite exceeded a 10-min budget).
+# The dir is keyed by the host's CPU feature set: XLA:CPU AOT executables
+# embed machine features (avx512 etc.) that are NOT part of jax's cache
+# key, and loading an entry compiled on a different host SIGILLs (observed
+# when the image moved machines between rounds).
+import hashlib
+
+try:
+    _flags = [ln for ln in open("/proc/cpuinfo") if ln.startswith("flags")]
+    _cpu_tag = hashlib.sha1(_flags[0].encode()).hexdigest()[:8]
+except Exception:
+    _cpu_tag = "generic"
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+                  os.path.join(os.path.dirname(__file__),
+                               f".jax_cache_{_cpu_tag}"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 

@@ -15,6 +15,7 @@ Reference behavior being reproduced: all humanoid geoms share one
 contype/conaffinity group so MuJoCo collides them by default
 (uhc/smpllib/smpl_parser.py:315-329).
 """
+import os
 import numpy as np
 import pytest
 
@@ -128,24 +129,50 @@ def test_penetration_resolves_like_mujoco(sc_oracle):
     q_mj = np.array(d.qpos)
 
     # --- engine rollout (gravity off, torque mode, zero torque) ----------
-    import dataclasses
-    model0g = dataclasses.replace(
-        modelj, gravity=jnp.zeros(3, jnp.float32))
+    # Runs in a FRESH python process: compiling (or reloading) this exact
+    # scan-of-substep_torque program inside a long pytest session hits a
+    # reproducible XLA:CPU segfault (observed three times at this line,
+    # both on cache read and on fresh compile, across hosts/caches); the
+    # identical program compiles and runs fine in a clean interpreter.
+    import subprocess
+    import sys
+    import tempfile
 
-    @jax.jit
-    def roll(qp):
-        qv = jnp.zeros(topo.nv, jnp.float32)
+    with tempfile.TemporaryDirectory() as td:
+        np.savez(os.path.join(td, "in.npz"), qpos=qpos)
+        script = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import dataclasses, sys
+import numpy as np
+import jax.numpy as jnp
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))})
+from uhc_tpu.physics import engine as E
+from uhc_tpu.physics.model import model_to_dtype
+from uhc_tpu.smpl.mjcf import load_mjcf_humanoid
+topo, model = load_mjcf_humanoid({repr(XML)})
+model0g = dataclasses.replace(model_to_dtype(model, jnp.float32),
+                              gravity=jnp.zeros(3, jnp.float32))
+qpos = np.load({repr(os.path.join(td, "in.npz"))})["qpos"]
 
-        def body(c, _):
-            qp, qv = c
-            qp, qv, _ = E.substep_torque(
-                topo, model0g, qp, qv, jnp.zeros(topo.ndof, jnp.float32),
-                jnp.zeros(topo.nv, jnp.float32), self_collision=True)
-            return (qp, qv), None
-        (qp, qv), _ = jax.lax.scan(body, (qp, qv), None, length=steps)
-        return qp
+@jax.jit
+def roll(qp):
+    qv = jnp.zeros(topo.nv, jnp.float32)
+    def body(c, _):
+        qp, qv = c
+        qp, qv, _ = E.substep_torque(
+            topo, model0g, qp, qv, jnp.zeros(topo.ndof, jnp.float32),
+            jnp.zeros(topo.nv, jnp.float32), self_collision=True)
+        return (qp, qv), None
+    (qp, qv), _ = jax.lax.scan(body, (qp, qv), None, length={steps})
+    return qp
 
-    q_us = np.asarray(roll(jnp.asarray(qpos, jnp.float32)))
+np.savez({repr(os.path.join(td, "out.npz"))},
+         q=np.asarray(roll(jnp.asarray(qpos, jnp.float32))))
+"""
+        subprocess.run([sys.executable, "-c", script], check=True,
+                       timeout=900)
+        q_us = np.load(os.path.join(td, "out.npz"))["q"]
     assert np.all(np.isfinite(q_us))
 
     def depth(q):

@@ -133,3 +133,38 @@ def test_lane_kernel_big_tree_interpret():
     q1, v1 = lane(qp, qv, act, tb, 1.0)
     assert float(jnp.max(jnp.abs(q1 - q_ref))) < 1e-5
     assert float(jnp.max(jnp.abs(v1 - v_ref))) < 1e-3
+
+
+@pytest.mark.slow
+def test_lane_kernel_smplh_tree_interpret():
+    """Lane kernel at the 52-body routing edge (SMPL-H, NP=160): same
+    big-tree configuration as masterfoot (pcg_vpu off, env-major
+    sub-tile solves). Parity vs the XLA solver."""
+    from uhc_tpu.physics.pallas_lane import make_fused_do_simulation_lane
+    from uhc_tpu.smpl import smplh as SH
+
+    topo24, model24 = load_mjcf_humanoid(XML)
+    topo = SH.smplh_topology()
+    model = model_to_dtype(SH.smplh_model(topo24, model24), jnp.float32)
+    assert topo.nbody == 52
+
+    B = 8
+    rng = jax.random.PRNGKey(3)
+    qp = jnp.zeros((B, topo.nq))
+    qp = qp.at[:, 2].set(0.92).at[:, 3].set(1.0)
+    qv = 0.03 * jax.random.normal(rng, (B, topo.nv))
+    tb = qp[:, 7:]
+
+    cfg = EnvConfig(self_collision=True)
+    nd, vf, meta = H.action_dims(topo, cfg)
+    act = 0.02 * jax.random.normal(rng, (B, nd + vf + meta))
+
+    sim = S.make_do_simulation(topo, cfg, pcg_iters=3)
+    q_ref, v_ref = sim(model, qp, qv, act, tb, 1.0)
+
+    lane = make_fused_do_simulation_lane(topo, cfg, model, env_tile=8,
+                                         sub_tile=8, pcg_iters=3,
+                                         interpret=True, pcg_vpu=False)
+    q1, v1 = lane(qp, qv, act, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q1 - q_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(v1 - v_ref))) < 1e-3

@@ -140,8 +140,15 @@ def test_penetration_resolves_like_mujoco(sc_oracle):
 
     with tempfile.TemporaryDirectory() as td:
         np.savez(os.path.join(td, "in.npz"), qpos=qpos)
+        cache_dir = jax.config.jax_compilation_cache_dir
         script = f"""
 import jax; jax.config.update("jax_platforms", "cpu")
+import os
+if os.environ.get("UHC_TEST_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["UHC_TEST_CACHE"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 import dataclasses, sys
 import numpy as np
 import jax.numpy as jnp
@@ -170,8 +177,17 @@ def roll(qp):
 np.savez({repr(os.path.join(td, "out.npz"))},
          q=np.asarray(roll(jnp.asarray(qpos, jnp.float32))))
 """
-        subprocess.run([sys.executable, "-c", script], check=True,
-                       timeout=900)
+        env = dict(os.environ)
+        env["UHC_TEST_CACHE"] = cache_dir or ""
+        r = subprocess.run([sys.executable, "-c", script], env=env,
+                           timeout=900)
+        if r.returncode != 0:
+            # cached-executable load can be fragile (see module docstring);
+            # a fresh compile in a clean interpreter is the proven-safe
+            # configuration
+            env.pop("UHC_TEST_CACHE", None)
+            subprocess.run([sys.executable, "-c", script], env=env,
+                           check=True, timeout=900)
         q_us = np.load(os.path.join(td, "out.npz"))["q"]
     assert np.all(np.isfinite(q_us))
 

@@ -37,8 +37,15 @@ def post_step():
     model = model_to_dtype(model, jnp.float32)
     lib, _ = build_expert_library(topo, model, load_motion_file(NEUTRAL))
     nqp, nqv = load_neutral(NEUTRAL)
+    # real YAML loading populates BOTH the direct k_/w_ fields (read by
+    # the world-implicit family) and extra_rw (read by v2/local via
+    # cfg.rw) — mirror that here
     cfg = EnvConfig(meta_pd=True, residual_force=True,
                     residual_force_scale=100.0,
+                    k_p=WS["k_p"], k_v=WS["k_v"], k_c=WS["k_c"],
+                    k_vf=WS["k_vf"],
+                    w_p=WS["w_p"], w_v=WS["w_v"], w_c=WS["w_c"],
+                    w_vf=WS["w_vf"],
                     extra_rw=tuple(sorted(WS.items())))
     jpw, bdw = default_diff_weights()
     rng = jax.random.PRNGKey(6)
@@ -84,6 +91,14 @@ def _stub(topo, model, cfg, lib, state2, nd, vf):
     stub.dt = float(np.asarray(cfg.ctrl_dt))
     stub.ndof = nd
     stub.vf_dim = vf
+
+    from uhc_tpu.smpl.constants import default_diff_weights, ee_indices
+    jpw, bdw = default_diff_weights()
+    stub.get_ee_pos = lambda tr: np.asarray(
+        jax.device_get(kin["xpos"][ee_indices(topo)])).ravel()
+    stub.get_com = lambda: np.asarray(jax.device_get(kin["xipos"][0]))
+    stub.body_diffw = np.asarray(bdw)
+    stub.jpos_diffw = np.asarray(jpw)[:, None]
     return stub
 
 
@@ -100,5 +115,26 @@ def test_v2_v3_match_reference(post_step, rid):
     ref_fn = getattr(rf, rid)
     ref_r, ref_terms = ref_fn(stub, None,
                               np.asarray(jax.device_get(action)), None)
+    np.testing.assert_allclose(np.asarray(ours_terms), ref_terms, atol=5e-3)
+    np.testing.assert_allclose(float(ours_r), ref_r, atol=5e-3)
+
+
+@pytest.mark.parametrize("rid,ref_name", [
+    ("world_rfc_implicit_quat", "world_rfc_implicit_reward_quat"),
+    ("world_rfc_implicit_v1_mul", "world_rfc_implicit_v1_mul"),
+])
+def test_quat_and_mul_variants_match_reference(post_step, rid, ref_name):
+    """The remaining registry entries used by shipped configs: the quat
+    variant (same math as world_rfc_implicit modulo dead code — we alias
+    it) and the multiplicative v1 composition."""
+    from uhc_tpu.rewards.reward_function import reward_func
+
+    topo, model, cfg, lib, state2, action, jpw, bdw, nd, vf = post_step
+    aux = {"jpos_diffw": jnp.asarray(jpw), "body_diffw": jnp.asarray(bdw)}
+    ours_r, ours_terms = reward_func[rid](topo, model, cfg, state2, action,
+                                          lib, aux)
+    stub = _stub(topo, model, cfg, lib, state2, nd, vf)
+    ref_r, ref_terms = getattr(rf, ref_name)(
+        stub, None, np.asarray(jax.device_get(action)), None)
     np.testing.assert_allclose(np.asarray(ours_terms), ref_terms, atol=5e-3)
     np.testing.assert_allclose(float(ours_r), ref_r, atol=5e-3)

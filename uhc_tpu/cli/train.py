@@ -41,6 +41,8 @@ def main():
                         "52-body family on configs that lack the key)")
     p.add_argument("--smpl-data", default=None,
                    help="SMPL model pkl/npz for shape-conditioned training")
+    p.add_argument("--save-n-epochs", type=int, default=None,
+                   help="override cfg.save_n_epochs (checkpoint/eval cadence)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace (XProf/TensorBoard "
                         "format) of epochs 2-4 into DIR")
@@ -96,6 +98,8 @@ def main():
     sink = MetricsSink(agent.results_dir, resume=args.epoch > 0)
 
     epochs = args.epochs if args.epochs is not None else cfg.num_epoch
+    save_n = (args.save_n_epochs if args.save_n_epochs is not None
+              else cfg.save_n_epochs)
     for i in range(args.epoch, epochs):
         # profile a steady-state window (epoch 0/1 are compile-dominated)
         if args.profile and i == args.epoch + 2:
@@ -124,7 +128,7 @@ def main():
                 f"len={float(stats['avg_eps_len']):.1f} "
                 f"sps={float(stats['steps_per_sec']):.0f} "
                 f"T={float(stats['T_total']):.2f}s")
-        if (i + 1) % cfg.save_n_epochs == 0 or i + 1 == epochs:
+        if (i + 1) % save_n == 0 or i + 1 == epochs:
             agent.save_checkpoint(i + 1)
             logger.info(f"saved checkpoint @ {i + 1}")
             if args.agent == "copycat":

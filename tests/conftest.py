@@ -40,6 +40,59 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 import jax.numpy as jnp  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Per-module process isolation.
+#
+# XLA:CPU segfaults reproducibly when a long-lived pytest process has
+# compiled/cache-loaded many large scan-of-do_simulation programs: two full
+# r3 runs died at ~81% (≈145 of 177 tests) in two DIFFERENT test files, and
+# each crashing test passes alone in a fresh interpreter (VERDICT r3 weak #1;
+# commit 20cfabd isolated one such test the same way). The crash is
+# positional — cumulative XLA:CPU state, not any single test — so the cure is
+# a fresh process per test module: the top-level `pytest tests/ -q`
+# invocation collects normally, then dispatches each module to a child
+# `pytest` (marked via UHC_TPU_TEST_SHARD so children run the normal loop)
+# and aggregates exit status. One command, deterministic exit code.
+# ---------------------------------------------------------------------------
+_SHARD_ENV = "UHC_TPU_TEST_SHARD"
+
+
+def pytest_runtestloop(session):
+    import subprocess
+    import sys
+
+    config = session.config
+    if (os.environ.get(_SHARD_ENV)
+            or config.option.collectonly
+            or getattr(config.option, "usepdb", False)):
+        return None  # run the default in-process loop
+    by_module: dict = {}
+    for item in session.items:
+        by_module.setdefault(str(item.path), []).append(item.nodeid)
+    if len(by_module) <= 1:
+        return None  # single module: no isolation value, keep -pdb etc usable
+    env = dict(os.environ, **{_SHARD_ENV: "1"})
+    failed_modules = []
+    for i, (path, nodeids) in enumerate(sorted(by_module.items())):
+        args = [sys.executable, "-m", "pytest", "-q", "--no-header", *nodeids]
+        if config.option.maxfail:
+            args.append(f"--maxfail={config.option.maxfail}")
+        print(f"\n[shard {i + 1}/{len(by_module)}] {os.path.basename(path)} "
+              f"({len(nodeids)} tests)", flush=True)
+        rc = subprocess.run(args, env=env, cwd=str(config.rootpath)).returncode
+        if rc == 5:  # no tests ran (all deselected in child) — not a failure
+            rc = 0
+        if rc != 0:
+            failed_modules.append((os.path.basename(path), rc))
+            session.testsfailed += 1
+            if config.option.maxfail:
+                break
+    print(f"\n[shard summary] {len(by_module) - len(failed_modules)}/"
+          f"{len(by_module)} modules passed"
+          + (f"; FAILED: {failed_modules}" if failed_modules else ""),
+          flush=True)
+    return True  # skip the default loop
+
 
 @pytest.fixture(scope="session")
 def humanoid_setup():

@@ -41,8 +41,18 @@ def main():
                         "52-body family on configs that lack the key)")
     p.add_argument("--smpl-data", default=None,
                    help="SMPL model pkl/npz for shape-conditioned training")
-    p.add_argument("--save-n-epochs", type=int, default=None,
+    def positive_int(v):
+        iv = int(v)
+        if iv < 1:
+            raise argparse.ArgumentTypeError(f"must be >= 1, got {iv}")
+        return iv
+
+    p.add_argument("--save-n-epochs", type=positive_int, default=None,
                    help="override cfg.save_n_epochs (checkpoint/eval cadence)")
+    p.add_argument("--warm-start-from", default=None, metavar="CKPT",
+                   help="initialize policy/value/obs-stats from another "
+                        "run's checkpoint file (cross-run warm start; "
+                        "epoch counter and sampler state start fresh)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace (XProf/TensorBoard "
                         "format) of epochs 2-4 into DIR")
@@ -89,6 +99,14 @@ def main():
         logger.info(f"cfg {cfg.cfg_id}: obs_dim={agent.obs_dim} "
                     f"action_dim={agent.action_dim} seqs={len(agent.seq_keys)}")
 
+    if args.warm_start_from:
+        if not os.path.isfile(args.warm_start_from):
+            p.error(f"--warm-start-from: no such checkpoint: "
+                    f"{args.warm_start_from}")
+        if args.epoch > 0:
+            p.error("--warm-start-from and --epoch (resume) are exclusive")
+        agent.load_checkpoint_file(args.warm_start_from, warm_start=True)
+        logger.info(f"warm-started from {args.warm_start_from}")
     if args.epoch > 0:
         agent.load_checkpoint(args.epoch)
 
@@ -98,6 +116,10 @@ def main():
     sink = MetricsSink(agent.results_dir, resume=args.epoch > 0)
 
     epochs = args.epochs if args.epochs is not None else cfg.num_epoch
+    if args.agent == "uhm":
+        # the gt_rate anneal runs over the ACTUAL planned horizon, not the
+        # yml's 30k default (reference passes cfg.num_epoch to lambda_rule)
+        agent.total_epochs = epochs
     save_n = (args.save_n_epochs if args.save_n_epochs is not None
               else cfg.save_n_epochs)
     for i in range(args.epoch, epochs):

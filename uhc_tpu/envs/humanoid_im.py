@@ -64,6 +64,9 @@ class EnvState:
     # they ride EnvState so steps/resets keep them in sync with the clip.
     # None when the motion library carries no objects.
     obj_qpos: Any = None
+    # (NO, 6) free-joint velocities when objects are DYNAMIC (cfg/env_step
+    # obj_model path); stays None for kinematic playback
+    obj_qvel: Any = None
 
 
 # ---------------------------------------------------------------------------
@@ -116,8 +119,13 @@ def action_dims(topo: Topology, cfg: EnvConfig):
 
 
 def do_simulation(topo: Topology, model: Model, cfg: EnvConfig, qpos, qvel,
-                  action, target_base, rfc_rate):
-    """humanoid_im.py:1145 do_simulation as a lax.scan over substeps."""
+                  action, target_base, rfc_rate, obj=None):
+    """humanoid_im.py:1145 do_simulation as a lax.scan over substeps.
+
+    `obj` = (ObjModel, obj_qpos (NO,7), obj_qvel (NO,6)) enables dynamic
+    scene objects (the reference's free-joint object dofs,
+    humanoid_im.py:1284-1287); the object state joins the substep carry and
+    the function then returns (qpos, qvel, obj_qpos, obj_qvel)."""
     ndof, vf_dim, meta_dim = action_dims(topo, cfg)
     ctrl_joint = action[:ndof]
     base_rot = jnp.asarray(cfg.base_rot, qpos.dtype)
@@ -135,7 +143,10 @@ def do_simulation(topo: Topology, model: Model, cfg: EnvConfig, qpos, qvel,
         kd_scale = jnp.ones((cfg.frame_skip,), qpos.dtype)
 
     def sub(carry, i):
-        qp, qv = carry
+        if obj is None:
+            qp, qv = carry
+        else:
+            qp, qv, obj_qp, obj_qv = carry
         if cfg.action_type == "torque":
             # τ = ctrl·a_scale·100, clipped (humanoid_im.py:1158-1160) —
             # the ball-joint family's control mode; no PD target
@@ -195,12 +206,27 @@ def do_simulation(topo: Topology, model: Model, cfg: EnvConfig, qpos, qvel,
             qp, qv, tau = E.substep_torque(topo, model, qp, qv, tau,
                                            qfrc_applied, vf_body, vf_gate,
                                            cfg.self_collision)
+        elif obj is not None:
+            qp, qv, tau, (obj_qp, obj_qv) = E.substep(
+                topo, model, qp, qv, target_pos, kp, kd, qfrc_applied,
+                vf_body, vf_gate, cfg.self_collision,
+                obj=(obj[0], obj_qp, obj_qv))
         else:
             qp, qv, tau = E.substep(topo, model, qp, qv, target_pos, kp, kd,
                                     qfrc_applied, vf_body, vf_gate,
                                     cfg.self_collision)
+        if obj is not None:
+            return (qp, qv, obj_qp, obj_qv), None
         return (qp, qv), None
 
+    if obj is not None:
+        om, obj_qpos, obj_qvel = obj
+        qp_shape, qv_shape = obj_qpos.shape, obj_qvel.shape
+        (qpos, qvel, obj_qpos, obj_qvel), _ = jax.lax.scan(
+            sub, (qpos, qvel, obj_qpos.reshape(-1, 7),
+                  obj_qvel.reshape(-1, 6)),
+            jnp.arange(cfg.frame_skip))
+        return qpos, qvel, obj_qpos.reshape(qp_shape), obj_qvel.reshape(qv_shape)
     (qpos, qvel), _ = jax.lax.scan(sub, (qpos, qvel),
                                    jnp.arange(cfg.frame_skip))
     return qpos, qvel
@@ -794,21 +820,38 @@ def env_post_step(topo: Topology, model: Model, cfg: EnvConfig,
 
 def env_step(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
              action, expert_lib, jpos_diffw, body_diffw, rfc_rate=1.0,
-             train: bool = True):
+             train: bool = True, obj_model=None):
     """One 30 Hz control step (humanoid_im.py:1192). Returns
-    (state', obs, reward, reward_terms, done)."""
+    (state', obs, reward, reward_terms, done).
+
+    With `obj_model` (physics.objects.ObjModel) the scene objects are
+    DYNAMIC free bodies stepped inside do_simulation, like the reference's
+    free-joint object dofs (humanoid_im.py:1284-1287); otherwise obj_qpos is
+    kinematic expert playback."""
     prev_bquat = get_body_quat(state.qpos)
     tgt = expert_at(expert_lib, state.seq_idx,
                     state.start_ind + state.cur_t + 1)
-    qpos, qvel = do_simulation(topo, model, cfg, state.qpos, state.qvel,
-                               action, tgt["qpos"][7:], rfc_rate)
-    state = dataclasses.replace(state, qpos=qpos, qvel=qvel,
-                                prev_qpos=state.qpos,
-                                cur_t=state.cur_t + 1, prev_bquat=prev_bquat,
-                                # kinematic object playback (the reference's
-                                # obj free-joint dofs, humanoid_im.py:1285)
-                                obj_qpos=tgt.get("obj_pose",
-                                                 state.obj_qpos))
+    if obj_model is not None and state.obj_qpos is not None:
+        obj_qvel = (state.obj_qvel if state.obj_qvel is not None
+                    else jnp.zeros(state.obj_qpos.shape[:-1] + (6,),
+                                   state.qpos.dtype))
+        qpos, qvel, obj_qpos, obj_qvel = do_simulation(
+            topo, model, cfg, state.qpos, state.qvel, action,
+            tgt["qpos"][7:], rfc_rate,
+            obj=(obj_model, state.obj_qpos, obj_qvel))
+        state = dataclasses.replace(
+            state, qpos=qpos, qvel=qvel, prev_qpos=state.qpos,
+            cur_t=state.cur_t + 1, prev_bquat=prev_bquat,
+            obj_qpos=obj_qpos, obj_qvel=obj_qvel)
+    else:
+        qpos, qvel = do_simulation(topo, model, cfg, state.qpos, state.qvel,
+                                   action, tgt["qpos"][7:], rfc_rate)
+        state = dataclasses.replace(
+            state, qpos=qpos, qvel=qvel, prev_qpos=state.qpos,
+            cur_t=state.cur_t + 1, prev_bquat=prev_bquat,
+            # kinematic object playback (the reference's
+            # obj free-joint dofs, humanoid_im.py:1285)
+            obj_qpos=tgt.get("obj_pose", state.obj_qpos))
     return env_post_step(topo, model, cfg, state, action, expert_lib,
                          jpos_diffw, body_diffw, train)
 
@@ -941,7 +984,7 @@ def match_heading_and_pos(qpos_1, qpos_2, base_rot):
 
 def env_reset(topo: Topology, model: Model, cfg: EnvConfig, rng, seq_idx,
               expert_lib, neutral_qpos, neutral_qvel, start_ind=None,
-              train: bool = True):
+              train: bool = True, dynamic_obj: bool = False):
     """reset_model (humanoid_im.py:1245): expert window-start frame (+ joint
     noise in train), or — reactive_v=1 with prob reactive_rate — the
     standing-neutral pose heading-matched to the expert (fall-recovery
@@ -976,7 +1019,12 @@ def env_reset(topo: Topology, model: Model, cfg: EnvConfig, rng, seq_idx,
         done=jnp.zeros((), bool), fail=jnp.zeros((), bool),
         end=jnp.zeros((), bool), percent=jnp.zeros((), init_qpos.dtype),
         rng=rng,
-        # object free-joint qpos at the start frame (humanoid_im.py:1285)
+        # object free-joint qpos at the start frame (humanoid_im.py:1285);
+        # dynamic objects start at rest (reference zeroes the obj qvel slots)
         obj_qpos=exp0.get("obj_pose"),
+        obj_qvel=(jnp.zeros(exp0["obj_pose"].shape[:-1] + (6,),
+                            init_qpos.dtype)
+                  if dynamic_obj and exp0.get("obj_pose") is not None
+                  else None),
     )
     return state

@@ -78,6 +78,11 @@ class KinEnvState:
     end: Any
     percent: Any
     rng: Any
+    # scene objects (kin_poly sit/avoid/push tasks): free-joint pose track;
+    # dynamic when kin_env_step gets an obj_model (reference
+    # humanoid_kin_v1.py:477 get_obj_qpos appends these dofs to the sim)
+    obj_qpos: Any = None
+    obj_qvel: Any = None
 
 
 KIN_QPOS_LM = 74     # humanoid_kin_v1.py:263 qpos_lm
@@ -220,7 +225,7 @@ def calc_body_diff_sum(topo, model, qpos, tgt_wbpos, jpos_diffw):
 def kin_env_step(topo: Topology, model: Model, kin_cfg: KinConfig,
                  cc_cfg: EnvConfig, state: KinEnvState, kin_action,
                  context_lib, cc_policy_fn: Callable, jpos_diffw,
-                 rfc_rate=1.0, train: bool = True):
+                 rfc_rate=1.0, train: bool = True, obj_model=None):
     """One 30 Hz hierarchical step (humanoid_kin_v1.py:297). Returns
     (state', obs, reward, reward_terms, done)."""
     from uhc_tpu.smpl.constants import head_index
@@ -238,12 +243,27 @@ def kin_env_step(topo: Topology, model: Model, kin_cfg: KinConfig,
     cc_obs = H.get_obs(topo, model, cc_cfg, state, context_lib, tgt=target)
     cc_a = cc_policy_fn(cc_obs)
 
-    qpos, qvel = H.do_simulation(topo, model, cc_cfg, state.qpos, state.qvel,
-                                 cc_a, next_qpos[7:], rfc_rate)
-    state = dataclasses.replace(
-        state, qpos=qpos, qvel=qvel, prev_qpos=prev_qpos,
-        prev_bquat=prev_bquat, prev_hpos=prev_hpos, target_qpos=next_qpos,
-        cur_t=state.cur_t + 1)
+    if obj_model is not None and state.obj_qpos is not None:
+        obj_qvel = (state.obj_qvel if state.obj_qvel is not None
+                    else jnp.zeros(state.obj_qpos.shape[:-1] + (6,),
+                                   state.qpos.dtype))
+        qpos, qvel, obj_qpos, obj_qvel = H.do_simulation(
+            topo, model, cc_cfg, state.qpos, state.qvel, cc_a,
+            next_qpos[7:], rfc_rate,
+            obj=(obj_model, state.obj_qpos, obj_qvel))
+        state = dataclasses.replace(
+            state, qpos=qpos, qvel=qvel, prev_qpos=prev_qpos,
+            prev_bquat=prev_bquat, prev_hpos=prev_hpos,
+            target_qpos=next_qpos, cur_t=state.cur_t + 1,
+            obj_qpos=obj_qpos, obj_qvel=obj_qvel)
+    else:
+        qpos, qvel = H.do_simulation(topo, model, cc_cfg, state.qpos,
+                                     state.qvel, cc_a, next_qpos[7:],
+                                     rfc_rate)
+        state = dataclasses.replace(
+            state, qpos=qpos, qvel=qvel, prev_qpos=prev_qpos,
+            prev_bquat=prev_bquat, prev_hpos=prev_hpos,
+            target_qpos=next_qpos, cur_t=state.cur_t + 1)
 
     # termination: body diff vs own target (>10), + vs GT in train
     jw = jnp.asarray(jpos_diffw, qpos.dtype)
@@ -272,7 +292,8 @@ def kin_env_step(topo: Topology, model: Model, kin_cfg: KinConfig,
 
 
 def kin_env_reset(topo: Topology, model: Model, kin_cfg: KinConfig, rng,
-                  seq_idx, context_lib, use_gt_init: bool = True):
+                  seq_idx, context_lib, use_gt_init: bool = True,
+                  dynamic_obj: bool = False):
     """reset_model (humanoid_kin_v1.py:379): start from the context's init
     frame (GT frame 0 unless an ARNet init_qpos was loaded)."""
     zero = jnp.zeros((), jnp.int32)
@@ -293,4 +314,11 @@ def kin_env_reset(topo: Topology, model: Model, kin_cfg: KinConfig, rng,
         done=jnp.zeros((), bool), fail=jnp.zeros((), bool),
         end=jnp.zeros((), bool), percent=jnp.zeros((), init_qpos.dtype),
         rng=rng,
+        # object free-joint pose at the context start frame
+        # (humanoid_kin_v1.py:477 get_obj_qpos)
+        obj_qpos=frame0.get("obj_pose"),
+        obj_qvel=(jnp.zeros(frame0["obj_pose"].shape[:-1] + (6,),
+                            init_qpos.dtype)
+                  if dynamic_obj and frame0.get("obj_pose") is not None
+                  else None),
     )

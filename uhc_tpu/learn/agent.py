@@ -407,7 +407,17 @@ class CopycatAgent:
             pickle.dump(state, f)
 
     def load_checkpoint(self, epoch: int):
-        with open(self.checkpoint_path(epoch), "rb") as f:
+        self.load_checkpoint_file(self.checkpoint_path(epoch))
+
+    def load_checkpoint_file(self, path: str, warm_start: bool = False):
+        """Restore networks + running stats from any checkpoint file.
+
+        warm_start=True loads only the transferable pieces (params, log_std,
+        obs running stats) and leaves epoch/sampler state fresh — the
+        cross-run warm-start the reference achieves by copying iter_*.p
+        between results dirs (fit_uhc.py resumes a release checkpoint into a
+        per-sequence run the same way)."""
+        with open(path, "rb") as f:
             state = pickle.load(f)
         self.log_std = jnp.asarray(state["log_std"])
         self.ppo_state = PPOState(
@@ -420,5 +430,7 @@ class CopycatAgent:
         rs = state["running_stats"]
         self.rs = RN.RunningStats(jnp.asarray(rs["n"]), jnp.asarray(rs["mean"]),
                                   jnp.asarray(rs["m2"]))
+        if warm_start:
+            return
         self.sampler.load_state_dict(state["sampler"])
         self.epoch = state["epoch"]

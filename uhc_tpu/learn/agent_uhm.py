@@ -139,7 +139,18 @@ class UHMAgent:
         self.value_opt = optax.adam(kin_cfg.value_lr)
         self.value_opt_state = self.value_opt.init(self.value_params)
         self.rng = key
-        self.gt_rate = float(ps.get("gt_rate", 0.3))
+        self.gt_rate0 = float(ps.get("gt_rate", 0.3))
+        self.gt_rate = self.gt_rate0
+        # scheduled-sampling decay (kin_net.py:500-502 per_epoch_update):
+        # gt_rate anneals linearly to 0 so late training sees pure
+        # autoregressive rollouts — without it the integrator is reset to GT
+        # every ~1/gt_rate frames and compounding AR error is never trained
+        # against (the r3 457mm mpjpe failure mode).
+        self.gt_rate_decay = bool(ms.get("gt_rate_decay", True))
+        self.num_epoch_fix = int(d.get("num_epoch_fix", 10))
+        self.total_epochs = int(d.get("num_epoch", kin_cfg.num_epoch))
+        self.sup_window = int(ps.get("window", 32))
+        self.sup_batch = int(ps.get("batch", 16))
         self.epoch = 0
 
         self._rollout = jax.jit(self._rollout_impl)
@@ -292,9 +303,11 @@ class UHMAgent:
         params = optax.apply_updates(params, u)
         return params, opt_state, loss
 
-    def full_update(self, window: int = 32, batch: int = 16):
+    def full_update(self, window: int | None = None, batch: int | None = None):
         """One supervised epoch over random GT windows (scheduled sampling
         rate self.gt_rate; KinNet.train_full_supervised)."""
+        window = self.sup_window if window is None else window
+        batch = self.sup_batch if batch is None else batch
         self.rng, k1, k2, k3 = jax.random.split(self.rng, 4)
         n_seq = len(self.seq_keys)
         lengths = np.asarray(self.context_lib["len"])
@@ -318,6 +331,11 @@ class UHMAgent:
         per policy_specs flags."""
         t0 = time.time()
         stats: Dict[str, Any] = {}
+        if self.gt_rate_decay:
+            n, nfix = self.total_epochs, self.num_epoch_fix
+            self.gt_rate = self.gt_rate0 * (
+                1.0 - max(0, epoch - nfix) / float(n - nfix + 1))
+        stats["gt_rate"] = self.gt_rate
         if self.policy_specs.get("rl_update", False):
             self.rng, k1, k2, k3 = jax.random.split(self.rng, 4)
             seq_idx = jax.random.randint(k1, (self.num_envs,), 0,
@@ -348,10 +366,14 @@ class UHMAgent:
             }, f)
 
     def load_checkpoint(self, epoch: int):
-        with open(self.checkpoint_path(epoch), "rb") as f:
+        self.load_checkpoint_file(self.checkpoint_path(epoch))
+
+    def load_checkpoint_file(self, path: str, warm_start: bool = False):
+        with open(path, "rb") as f:
             state = pickle.load(f)
         self.params = jax.tree.map(jnp.asarray, state["params"])
         self.value_params = jax.tree.map(jnp.asarray, state["value_params"])
         self.opt_state = self.opt.init(self.params)
         self.value_opt_state = self.value_opt.init(self.value_params)
-        self.epoch = state["epoch"]
+        if not warm_start:
+            self.epoch = state["epoch"]

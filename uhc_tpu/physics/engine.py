@@ -529,7 +529,7 @@ def vf_contact_gate(model: Model, kin, mode: str):
 
 def assemble(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
              qfrc_applied, vf_body=None, vf_gate=None,
-             self_collision: bool = False):
+             self_collision: bool = False, obj=None):
     """Phase 1 of a substep: everything except the linear solves.
 
     Returns a dict with the two SPD system matrices (A_pd for stable-PD,
@@ -550,6 +550,21 @@ def assemble(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
         qfrc_con = qfrc_con + (
             jnp.einsum("naj,na->j", Jlin, Fsc, precision=HI)
             + jnp.einsum("naj,na->j", Jang, Tsc, precision=HI))
+    obj_wrench = None
+    if obj is not None:
+        # dynamic scene objects (humanoid_im.py:1284-1287): humanoid SC
+        # spheres vs object primitives; humanoid side joins the contact
+        # wrench here, object side returns for obj_substep integration
+        from uhc_tpu.physics import objects as OBJ
+
+        om, obj_qpos, obj_qvel = obj
+        Fob, Tob, F_obj, T_obj = OBJ.humanoid_obj_contacts(
+            topo, model, kin, vel, om, obj_qpos[:, :3], obj_qpos[:, 3:7],
+            obj_qvel[:, :3], obj_qvel[:, 3:6])
+        qfrc_con = qfrc_con + (
+            jnp.einsum("naj,na->j", Jlin, Fob, precision=HI)
+            + jnp.einsum("naj,na->j", Jang, Tob, precision=HI))
+        obj_wrench = (F_obj, T_obj)
     qfrc_lim, lim_damp = limit_qfrc(model, qpos, qvel)
 
     nv = topo.nv
@@ -589,7 +604,7 @@ def assemble(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
         rhs_base = rhs_base + (jnp.einsum("naj,na->j", Jlin, f_w, precision=HI)
                                + jnp.einsum("naj,na->j", Jang, T, precision=HI))
     return dict(A_pd=A_pd, A_fd=A_fd, pd_rhs=pd_rhs, qpos_err=qpos_err,
-                rhs_base=rhs_base)
+                rhs_base=rhs_base, obj_wrench=obj_wrench)
 
 
 def substep_torque(topo: Topology, model: Model, qpos, qvel, tau,
@@ -618,7 +633,7 @@ def pd_torque_from_accel(model: Model, qvel, qpos_err, kp, kd, qacc_des):
 
 def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
             qfrc_applied, vf_body=None, vf_gate=None,
-            self_collision: bool = False):
+            self_collision: bool = False, obj=None):
     """One 450 Hz physics substep with stable-PD actuation.
 
     `qfrc_applied` is the residual-force wrench already mapped to generalized
@@ -635,7 +650,7 @@ def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
     from uhc_tpu.physics import linalg as LA
 
     out = assemble(topo, model, qpos, qvel, target_pos, kp, kd,
-                   qfrc_applied, vf_body, vf_gate, self_collision)
+                   qfrc_applied, vf_body, vf_gate, self_collision, obj)
     LL = LA.blocked_cholesky(jnp.stack([out["A_pd"], out["A_fd"]]))
     qacc_des = LA.blocked_cho_solve(
         jax.tree.map(lambda x: x[0], LL), out["pd_rhs"])
@@ -643,4 +658,12 @@ def substep(topo: Topology, model: Model, qpos, qvel, target_pos, kp, kd,
     rhs = out["rhs_base"] + jnp.concatenate([jnp.zeros(6, qpos.dtype), tau])
     qacc = LA.blocked_cho_solve(jax.tree.map(lambda x: x[1], LL), rhs)
     qpos_n, qvel_n = integrate(model, qpos, qvel, qacc)
+    if obj is not None:
+        from uhc_tpu.physics import objects as OBJ
+
+        om, obj_qpos, obj_qvel = obj
+        F_obj, T_obj = out["obj_wrench"]
+        obj_qpos_n, obj_qvel_n = OBJ.obj_substep(model, om, obj_qpos,
+                                                 obj_qvel, F_obj, T_obj)
+        return qpos_n, qvel_n, tau, (obj_qpos_n, obj_qvel_n)
     return qpos_n, qvel_n, tau

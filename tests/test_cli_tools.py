@@ -41,3 +41,54 @@ def test_logger(tmp_path):
     lg = create_logger(str(tmp_path))
     lg.info("hello")
     assert "hello" in open(tmp_path / "log.txt").read()
+
+
+def test_render_smpl_rig(tmp_path):
+    src = str(tmp_path / "mini.pkl")
+    T = 8
+    joblib.dump({"clip a": {"pose_aa": np.zeros((T, 72), np.float32),
+                            "trans": np.zeros((T, 3), np.float32)}}, src)
+    out_dir = str(tmp_path / "renders")
+    _run(["render_smpl_rig", "--data", src, "--output-dir", out_dir,
+          "--fmt", "png", "--max-frames", "3", "--stride", "2"])
+    import glob
+    assert glob.glob(out_dir + "/clip_a_*.png")
+
+
+def test_create_smpl_mesh_skeleton(tmp_path):
+    out_dir = str(tmp_path / "models")
+    _run(["create_smpl_mesh_skeleton", "--out-dir", out_dir,
+          "--num-vis", "2"])
+    sim = open(out_dir + "/humanoid_smpl_neutral_mesh_test.xml").read()
+    vis = open(out_dir + "/humanoid_smpl_neutral_mesh_vis.xml").read()
+    assert "<mujoco" in sim and "L_Knee" in sim
+    # vis scene has two color-coded humanoid copies, no actuators
+    assert vis.count('name="Pelvis') == 2 and "<actuator>" not in vis
+    import xml.etree.ElementTree as ET
+    ET.fromstring(vis)
+
+
+def test_convert_h36m_cli(tmp_path):
+    import pickle
+    rng = np.random.RandomState(0)
+    src = str(tmp_path / "h36m_raw.p")
+    with open(src, "wb") as f:
+        pickle.dump({"S1": {"Walk": rng.uniform(-40, 40, (50, 78))}}, f)
+    out = str(tmp_path / "h36m_qpos.p")
+    xml = str(tmp_path / "h36m.xml")
+    _run(["convert_h36m", "--data", src, "--out", out,
+          "--write-model", xml])
+    with open(out, "rb") as f:
+        d = pickle.load(f)
+    from uhc_tpu.data import h36m
+    assert d["S1"]["Walk"].shape[1] == h36m.h36m_nq()
+    assert "<mujoco" in open(xml).read()
+
+
+def test_display_coverage(tmp_path):
+    from uhc_tpu.utils.visualizer import display_coverage
+
+    res = {f"seq{i}": {"succ": i % 2, "mpjpe": 30.0 + i} for i in range(5)}
+    out = display_coverage(res, str(tmp_path / "cov.png"))
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 1000

@@ -218,3 +218,50 @@ def test_smplx_lbs_data_path():
     names = list(topo.body_names)
     np.testing.assert_allclose(bp[names.index("Jaw")], offsets["Jaw"],
                                atol=1e-6)
+
+
+def test_training_setup_routes_exact_offsets(tmp_path):
+    """VERDICT r3 item 8: the TRAINING path (CopycatAgent construction with
+    robot_model=smplh + 52-joint model data) consumes exact regressor
+    offsets, not the anthropometric fallback — previously the
+    smplh_model_from_data branch was only unit-exercised, never wired
+    through the agent."""
+    from uhc_tpu.config.config import Config
+    from uhc_tpu.learn.agent import CopycatAgent
+    from uhc_tpu.smpl.lbs import (load_smplh_data, smplh_offsets_from_betas,
+                                  synthetic_smpl_data)
+
+    sd = synthetic_smpl_data(nj=52)
+    path = tmp_path / "smplh_synth.npz"
+    np.savez(path,
+             v_template=np.asarray(sd.v_template),
+             shapedirs=np.asarray(sd.shapedirs),
+             J_regressor=np.asarray(sd.j_regressor),
+             weights=np.asarray(sd.weights))
+
+    import dataclasses as DC
+    cfg = Config(cfg_id="smplh_exact_test")
+    cfg = DC.replace(cfg, env=DC.replace(cfg.env, robot_model="smplh"))
+    agent = CopycatAgent(
+        cfg, "/root/reference/sample_data/standing_neutral.pkl",
+        num_envs=2, horizon=2, max_seq_len=8,
+        results_dir=str(tmp_path / "results"), smpl_data=str(path))
+
+    assert agent.topo.nbody == 52
+    data = load_smplh_data(str(path))
+    offsets, _ = smplh_offsets_from_betas(data, jnp.zeros((16,)))
+    names = list(agent.topo.body_names)
+    bp = np.asarray(agent.model.body_pos)
+    for name in ("L_Index1", "R_Thumb3", "L_Middle2", "Head"):
+        np.testing.assert_allclose(bp[names.index(name)], offsets[name],
+                                   atol=1e-6,
+                                   err_msg=f"{name} not exact-offset")
+    # the anthropometric fallback would differ: rebuild it and check the
+    # finger rows are actually different (i.e. the exact branch was taken)
+    topo24, model24 = load_mjcf_humanoid(XML)
+    fb = np.asarray(SH.smplh_model(topo24, model24).body_pos)
+    assert not np.allclose(fb[names.index("L_Index1")],
+                           bp[names.index("L_Index1")], atol=1e-6)
+    # expert library built on the exact model is finite and 52-body wide
+    assert np.all(np.isfinite(np.asarray(agent.expert_lib["wbpos"])))
+    assert agent.expert_lib["wbpos"].shape[-1] == 52 * 3

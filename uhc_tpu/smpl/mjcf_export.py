@@ -140,3 +140,71 @@ def export_mjcf(topo: Topology, model: Model, name: str = "humanoid",
         w('  </actuator>\n')
     w('</mujoco>\n')
     return out.getvalue()
+
+
+_VIS_COLORS = ("0.7 0.0 0.0 1", "0.0 0.6 0.0 1", "0.0 0.0 0.8 1",
+               "0.8 0.6 0.0 1", "0.5 0.0 0.8 1", "0.0 0.6 0.6 1")
+
+
+def export_vis_mjcf(topo: Topology, model: Model, num: int = 2,
+                    name: str = "humanoid_vis",
+                    contact_radius: float = 0.012) -> str:
+    """Multi-humanoid visualization scene — smpl_robot.py:1490
+    export_vis_string: `num` color-coded copies of the robot, each with its
+    own free root + joints but NO contacts and NO actuators (the reference's
+    vis models are pose-playback only; CopycatVisualizer drives one copy
+    with the sim pose and one with the expert)."""
+    m = {f: np.asarray(getattr(model, f)) for f in (
+        "body_pos", "body_ipos", "body_mass", "body_inertia", "body_iquat",
+        "jnt_range", "contact_point", "contact_mask")}
+    out = io.StringIO()
+    w = out.write
+    w(f'<mujoco model="{name}">\n')
+    w('  <compiler coordinate="local" angle="radian" '
+      'inertiafromgeom="false"/>\n')
+    w('  <option timestep="0.0022222222"/>\n')
+    w('  <default>\n')
+    w('    <joint limited="false" damping="0" stiffness="0"/>\n')
+    w('    <geom condim="1" contype="0" conaffinity="0"/>\n')
+    w('  </default>\n')
+    w('  <worldbody>\n')
+    w('    <geom name="floor" type="plane" size="50 50 1" pos="0 0 0"/>\n')
+
+    children = {i: [] for i in range(-1, topo.nbody)}
+    for i in range(topo.nbody):
+        children[topo.parents[i]].append(i)
+
+    def emit(i: int, indent: str, suffix: str, rgba: str):
+        w(f'{indent}<body name="{topo.body_names[i]}{suffix}" '
+          f'pos="{_fmt(m["body_pos"][i])}">\n')
+        w(f'{indent}  <inertial pos="{_fmt(m["body_ipos"][i])}" '
+          f'quat="{_fmt(m["body_iquat"][i])}" '
+          f'mass="{float(m["body_mass"][i]):.8g}" '
+          f'diaginertia="{_fmt(m["body_inertia"][i])}"/>\n')
+        if i == 0:
+            w(f'{indent}  <freejoint name="root{suffix}"/>\n')
+        elif topo.joint_kind == "ball":
+            w(f'{indent}  <joint name="{topo.body_names[i]}{suffix}" '
+              'type="ball"/>\n')
+        else:
+            axes = ("0 0 1", "0 1 0", "1 0 0")
+            for k, tag in enumerate(("z", "y", "x")):
+                w(f'{indent}  <joint '
+                  f'name="{topo.body_names[i]}{suffix}_{tag}" '
+                  f'type="hinge" axis="{axes[k]}"/>\n')
+        cp, cm = m["contact_point"][i], m["contact_mask"][i]
+        for k in range(cp.shape[0]):
+            if cm[k] > 0:
+                w(f'{indent}  <geom type="sphere" '
+                  f'size="{contact_radius:g}" pos="{_fmt(cp[k])}" '
+                  f'rgba="{rgba}"/>\n')
+        for c in children[i]:
+            emit(c, indent + "  ", suffix, rgba)
+        w(f'{indent}</body>\n')
+
+    for h in range(num):
+        emit(0, "    ", f"_{h}" if h else "",
+             _VIS_COLORS[h % len(_VIS_COLORS)])
+    w('  </worldbody>\n')
+    w('</mujoco>\n')
+    return out.getvalue()

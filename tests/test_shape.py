@@ -5,6 +5,7 @@ reset_robot (per-beta robot rebuild), :1390 get_expert_shape_and_gender,
 config/release/uhc_implicit_shape.yml.
 """
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -192,3 +193,85 @@ def test_model_from_betas_exact_mass_props():
     # inertia quats are unit
     qn = np.linalg.norm(np.asarray(m.body_iquat), axis=1)
     np.testing.assert_allclose(qn, 1.0, atol=1e-5)
+
+
+def test_synthetic_smpl_data_like_is_anatomical():
+    """VERDICT r3 item 5 root cause: the old random-blendshape stand-in
+    regressed a degenerate centimeter-scale skeleton (every joint collapsed
+    to the mean vertex). The anatomical stand-in must reproduce the base
+    model's skeleton exactly at betas=0 and perturb bones smoothly."""
+    from uhc_tpu.smpl.lbs import (synthetic_smpl_data_like,
+                                  mujoco_offsets_from_betas,
+                                  vertex_body_assignment)
+    from uhc_tpu.smpl.robot import model_from_betas
+
+    topo, base = load_mjcf_humanoid(XML)
+    base = model_to_dtype(base, jnp.float32)
+    sd = synthetic_smpl_data_like(topo, base)
+
+    off0, root0 = mujoco_offsets_from_betas(sd, jnp.zeros(16))
+    np.testing.assert_allclose(np.asarray(off0), np.asarray(base.body_pos),
+                               atol=1e-5)
+
+    # nonzero betas: bones change but stay humanoid-scale
+    assign = vertex_body_assignment(sd)
+    m1 = model_from_betas(topo, base, sd, jnp.ones(16) * 0.8, assign)
+    d0 = np.linalg.norm(np.asarray(base.body_pos)[1:], axis=1)
+    d1 = np.linalg.norm(np.asarray(m1.body_pos)[1:], axis=1)
+    assert not np.allclose(d0, d1, atol=1e-4), "betas had no effect"
+    assert np.all(np.abs(d1 - d0) < 0.25), "bone change implausibly large"
+    # mass varies with shape but stays in a human range
+    mass = float(np.sum(np.asarray(m1.body_mass)))
+    assert 30.0 < mass < 200.0
+
+
+def test_make_shaped_clips_tool(tmp_path):
+    """Shaped-variant generator: betas attached, trans height-fixed so the
+    shaped body's lowest contact point matches the neutral clearance
+    (process_amass_db.py:194 fix_height analogue)."""
+    import runpy
+    import sys
+
+    import joblib
+
+    src = str(tmp_path / "mini.pkl")
+    T = 5
+    d = joblib.load("/root/reference/sample_data/standing_neutral.pkl")
+    pose_aa = np.zeros((T, 72), np.float32)
+    trans = np.zeros((T, 3), np.float32)
+    trans[:, 2] = 0.95
+    joblib.dump({"standing": {"pose_aa": pose_aa, "trans": trans}}, src)
+    out = str(tmp_path / "shaped.pkl")
+    argv_old = sys.argv
+    sys.argv = ["make_shaped_clips.py", "--data", src, "--out", out,
+                "--variants", "2"]
+    try:
+        runpy.run_path("tools/make_shaped_clips.py", run_name="__main__")
+    finally:
+        sys.argv = argv_old
+    shaped = joblib.load(out)
+    assert set(shaped) == {"standing", "standing_shape0", "standing_shape1"}
+    b0 = shaped["standing_shape0"]["beta"]
+    assert b0.shape == (16,) and not np.allclose(b0, 0)
+
+    # the height fix holds: shaped lowest contact z == neutral lowest z
+    from uhc_tpu.smpl.convert import smpl_to_qpose
+    from uhc_tpu.smpl.lbs import (synthetic_smpl_data_like,
+                                  vertex_body_assignment)
+    from uhc_tpu.smpl.robot import model_from_betas
+
+    sys.path.insert(0, os.getcwd())
+    from tools.make_shaped_clips import lowest_contact_z
+
+    topo, base = load_mjcf_humanoid(XML)
+    base = model_to_dtype(base, jnp.float32)
+    sd = synthetic_smpl_data_like(topo, base)
+    assign = vertex_body_assignment(sd)
+    zn = lowest_contact_z(topo, base, np.asarray(
+        smpl_to_qpose(pose_aa, base.body_pos[0], trans)))
+    for v in range(2):
+        dv = shaped[f"standing_shape{v}"]
+        m = model_from_betas(topo, base, sd, jnp.asarray(dv["beta"]), assign)
+        zs = lowest_contact_z(topo, m, np.asarray(
+            smpl_to_qpose(pose_aa, m.body_pos[0], dv["trans"])))
+        np.testing.assert_allclose(zs, zn, atol=1e-4)

@@ -107,16 +107,17 @@ class CopycatAgent:
             # (reference reset_robot humanoid_im.py:154-180; shape obs :1390)
             from uhc_tpu.data.dataset import build_shaped_library
             if smpl_data is None:
-                from uhc_tpu.smpl.lbs import synthetic_smpl_data
+                from uhc_tpu.smpl.lbs import synthetic_smpl_data_like
                 import warnings
                 warnings.warn(
                     "shape training without SMPL model data: falling back to "
-                    "synthetic_smpl_data() (random blendshapes, NOT real SMPL "
-                    "bodies). Pass smpl_data=<path to SMPL pkl/npz> for real "
-                    "shapes.", stacklevel=2)
+                    "synthetic_smpl_data_like() (anatomically-consistent "
+                    "synthetic blendshapes around the neutral skeleton, NOT "
+                    "real SMPL bodies). Pass smpl_data=<path to SMPL "
+                    "pkl/npz> for real shapes.", stacklevel=2)
                 print("[uhc_tpu] WARNING: shape training is using SYNTHETIC "
                       "SMPL blendshapes (no smpl_data provided).", flush=True)
-                smpl_data = synthetic_smpl_data()
+                smpl_data = synthetic_smpl_data_like(self.topo, self.model)
             elif isinstance(smpl_data, str):
                 from uhc_tpu.smpl.lbs import load_smpl_data
                 smpl_data = load_smpl_data(smpl_data)

@@ -115,6 +115,71 @@ def synthetic_smpl_data(rng_seed: int = 0, V: int = 512, n_betas: int = 16,
                     jnp.asarray(w))
 
 
+def synthetic_smpl_data_like(topo, base_model, rng_seed: int = 0,
+                             n_betas: int = 16, bone_sigma: float = 0.02,
+                             spread_sigma: float = 0.06,
+                             vert_radius: float = 0.06) -> SMPLData:
+    """Anatomically-consistent synthetic SMPL stand-in: at betas=0 the
+    regressed skeleton EQUALS the given base model's zero-pose skeleton, and
+    each beta mode perturbs bone vectors smoothly along the kinematic chain
+    (±bone_sigma per bone per unit beta) plus per-body volume spread
+    (mass/hull scale).
+
+    This replaces `synthetic_smpl_data()` as the shape-training fallback:
+    the old random regressor averaged random vertices, so every regressed
+    joint collapsed to the mean vertex — a centimeter-scale degenerate body
+    (bone offsets 0.01-0.04 m vs the real 0.1-0.4 m). Root-translation
+    control on that body is meaningless, which is what the r3
+    `uhc_implicit_shape` 145 mm global-drift failure trained on.
+    """
+    from uhc_tpu.smpl.constants import SMPL_2_MUJOCO
+
+    nj = topo.nbody
+    rng = np.random.default_rng(rng_seed)
+
+    # absolute zero-pose joints: mujoco order, then scatter to native order
+    bp = np.asarray(base_model.body_pos, np.float64)
+    abs_j = np.zeros_like(bp)
+    for i in range(nj):
+        p = topo.parents[i]
+        abs_j[i] = bp[i] + (abs_j[p] if p >= 0 else 0.0)
+    native = np.zeros_like(abs_j)
+    native[np.asarray(SMPL_2_MUJOCO)] = abs_j            # native joint pos
+
+    # 4 tetrahedral vertices per joint -> exact regressor, per-joint hulls
+    tet = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]],
+                   np.float64) * (vert_radius / np.sqrt(3.0))
+    V = 4 * nj
+    v = (native[:, None, :] + tet[None]).reshape(V, 3)
+    jr = np.zeros((nj, V))
+    w = np.zeros((V, nj))
+    for k in range(nj):
+        jr[k, 4 * k:4 * k + 4] = 0.25
+        w[4 * k:4 * k + 4, k] = 1.0
+
+    # beta modes: random-walk bone displacement down the native tree
+    # (children inherit their parent's displacement, so bones stretch
+    # coherently) + per-joint isotropic spread for volume variation
+    parents_native = _parents_for(nj)
+    d = np.zeros((n_betas, nj, 3))
+    # walk native joints parent-before-child (native order is already
+    # topologically sorted for SMPL trees)
+    for m in range(n_betas):
+        for k in range(1, nj):
+            p = int(parents_native[k])
+            d[m, k] = d[m, p] + rng.normal(scale=bone_sigma, size=3)
+    e = rng.normal(scale=spread_sigma, size=(n_betas, nj))
+    sdirs = np.zeros((V, 3, n_betas))
+    for k in range(nj):
+        for t in range(4):
+            i = 4 * k + t
+            sdirs[i] = (d[:, k, :] + tet[t][None, :] * e[:, k:k + 1]).T
+    return SMPLData(jnp.asarray(v, jnp.float32),
+                    jnp.asarray(sdirs, jnp.float32),
+                    jnp.asarray(jr, jnp.float32),
+                    jnp.asarray(w, jnp.float32))
+
+
 def _parents_for(nj: int) -> np.ndarray:
     """Native-order kinematic parents for a joint count (24/52/55)."""
     if nj == 24:

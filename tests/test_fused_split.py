@@ -168,3 +168,47 @@ def test_lane_kernel_smplh_tree_interpret():
     q1, v1 = lane(qp, qv, act, tb, 1.0)
     assert float(jnp.max(jnp.abs(q1 - q_ref))) < 1e-5
     assert float(jnp.max(jnp.abs(v1 - v_ref))) < 1e-3
+
+
+@pytest.mark.slow
+def test_lane_kernel_schedule_variants_interpret():
+    """New solve schedules (VERDICT r3 item 3 / PERF.md next-ceiling):
+    asymmetric PCG-(pd,fd) iteration counts and the mid-window
+    preconditioner refresh. Both must track the XLA reference within the
+    same bound as the production schedule (accuracy study:
+    tools/solver_variants.py)."""
+    from uhc_tpu.physics.pallas_lane import make_fused_do_simulation_lane
+
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    seqs = load_motion_file(NEUTRAL)
+    lib, _ = build_expert_library(topo, model, seqs, max_len=8)
+    B = 16
+    rng = jax.random.PRNGKey(0)
+    qp = jnp.tile(lib["qpos"][0, 0][None], (B, 1))
+    qv = 0.05 * jax.random.normal(rng, (B, topo.nv))
+    tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
+
+    cfg = EnvConfig(self_collision=True)
+    nd, vf, meta = H.action_dims(topo, cfg)
+    act = 0.02 * jax.random.normal(rng, (B, nd + vf + meta))
+
+    sim = S.make_do_simulation(topo, cfg, pcg_iters=8)
+    q_ref, v_ref = sim(model, qp, qv, act, tb, 1.0)
+
+    # asymmetric (pd=1, fd=2), VPU-PCG path (the production layout)
+    lane_a = make_fused_do_simulation_lane(topo, cfg, model, env_tile=16,
+                                           sub_tile=8, pcg_iters=(1, 2),
+                                           interpret=True, pcg_vpu=True)
+    q1, v1 = lane_a(qp, qv, act, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q1 - q_ref))) < 2e-3
+    assert float(jnp.max(jnp.abs(v1 - v_ref))) < 2e-1
+
+    # PCG-(1,1) + mid-window refresh at substep 8
+    lane_r = make_fused_do_simulation_lane(topo, cfg, model, env_tile=16,
+                                           sub_tile=8, pcg_iters=(1, 1),
+                                           interpret=True, pcg_vpu=True,
+                                           refresh_at=8)
+    q2, v2 = lane_r(qp, qv, act, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q2 - q_ref))) < 2e-3
+    assert float(jnp.max(jnp.abs(v2 - v_ref))) < 2e-1

@@ -33,7 +33,8 @@ NEUTRAL = "/root/reference/sample_data/standing_neutral.pkl"
 
 def parse_cfg(s):
     out = {"E": 8, "PCG": 3, "V": 100, "SPLIT": 0, "TAIL": 16, "SC": 0,
-           "BF16": 0, "LANE": 0, "SUB": 16, "PCGV": 0}
+           "BF16": 0, "LANE": 0, "SUB": 16, "PCGV": 0, "PCGPD": 0,
+           "REFRESH": 0}
     for kv in s.split(","):
         k, v = kv.split("=")
         out[k.upper()] = int(v)
@@ -76,10 +77,13 @@ def main():
             if c["LANE"]:
                 from uhc_tpu.physics.pallas_lane import \
                     make_fused_do_simulation_lane
+                iters = ((c["PCGPD"], c["PCG"]) if c["PCGPD"]
+                         else c["PCG"])
                 fused = make_fused_do_simulation_lane(
                     topo, cfg_i, model, env_tile=c["E"], sub_tile=c["SUB"],
-                    pcg_iters=c["PCG"], vmem_limit_mb=c["V"],
-                    pcg_vpu=bool(c["PCGV"]))
+                    pcg_iters=iters, vmem_limit_mb=c["V"],
+                    pcg_vpu=bool(c["PCGV"]),
+                    refresh_at=c["REFRESH"] or None)
             else:
                 fused = make_fused_do_simulation(
                     topo, cfg_i, model, env_tile=c["E"], pcg_iters=c["PCG"],

@@ -63,14 +63,29 @@ def _dg(a, b, ca, cb):
 
 def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                                   env_tile: int = 128, sub_tile: int = 16,
-                                  pcg_iters: int = 2,
+                                  pcg_iters: int | tuple = 2,
                                   interpret: bool = False,
                                   vmem_limit_mb: int = 100,
-                                  pcg_vpu: bool = False):
+                                  pcg_vpu: bool = False,
+                                  refresh_at: int | None = None):
     """Build the lane-major fused control step.
 
     Returns fn(qpos (B,nq), qvel (B,nv), actions (B,act), target_base
     (B,ndof), rfc_rate) -> (qpos', qvel'). Model baked statically.
+
+    `pcg_iters` may be a (pd, fd) pair: the PD solve's error only reaches
+    the dynamics scaled by kd·dt (≈0.11) and clipped, so PCG-1 there is
+    MEASURED more accurate than the symmetric PCG-2 production schedule at
+    2 fewer matvecs per substep (tools/solver_variants.py: pd1fd2 1.45e-3
+    vs pcg2 1.64e-3 qpos dev on the adversarial jog window).
+
+    `refresh_at=k` recomputes the exact inverse pair at substep k, halving
+    preconditioner staleness: PCG-(1,1) with refresh_at=8 measures 9.4e-4
+    (vs 3.2e-3 unrefreshed PCG-1, which is over the 2e-3 bound) — 4 fewer
+    matvecs per substep for one extra inverse pair per control step.
+    (Newton–Schulz inverse tracking was also measured: NaN — contact
+    touchdown changes A_fd discontinuously and the iteration diverges,
+    confirming the solver.py design note.)
     """
     if cfg.residual_force and cfg.residual_force_mode != "implicit":
         raise ValueError("fused path supports implicit RFC only")
@@ -80,6 +95,10 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
     from uhc_tpu.envs import humanoid_im as H
 
     nb, nv, ndof = topo.nbody, topo.nv, topo.ndof
+    if isinstance(pcg_iters, tuple):
+        pcg_pd, pcg_fd = pcg_iters
+    else:
+        pcg_pd = pcg_fd = pcg_iters
     NP = -(-nv // BS) * BS
     EL, ET = env_tile, sub_tile
     assert EL % ET == 0
@@ -258,7 +277,6 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
         T_LEQ = [clt[:, 12 + k:13 + k] for k in range(6)]
         R_TL, R_JNT, R_VAL = clr[2:3], clr[6:7], clr[7:8]   # (1, NP) rows
         R_LIN = clr[5:6]
-        K_SZ, K_SY, K_SX = cs[0:nb], cs[nb:2 * nb], cs[2 * nb:3 * nb]
         K_SALL, K_AM = cs[3 * nb:4 * nb], cs[4 * nb:5 * nb]
         K_ARMEYE, K_EYE = ce[0:NP], ce[NP:2 * NP]
         C_CPX = cc3[:, :, 0:1]
@@ -271,9 +289,6 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             return _dg(iel, x, 1, 1)
 
         K_S3 = cs[0:3 * nb]  # [Sz; Sy; Sx] stacked: one (3nb,NP) contraction
-
-        def dofify(za, ya, xa):
-            return _dg(K_S3, jnp.concatenate([za, ya, xa], axis=0), 0, 0)
 
         root = root_ref[:]          # (16, EL)
         jz0, jy0, jx0 = jz_ref[:], jy_ref[:], jx_ref[:]
@@ -386,15 +401,23 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             acom = tuple(ab[k] + c1[k] + c2[k] for k in range(3))
 
             # ---------- dof axes / anchors (NP, EL) ------------------------
-            axd = []
+            # grouped dispatch: the three per-component dofify contractions
+            # and the three anchor scatters each share their LHS, so they
+            # ride the lane axis of ONE matmul each (dispatch latency
+            # dominates at these sizes — same trick as dot_J6/T_env)
+            AJ = _dg(K_S3, jnp.concatenate(
+                [jnp.concatenate([azc[c], ayc[c], axc[c]], axis=0)
+                 for c in range(3)], axis=1), 0, 0)          # (NP, 3EL)
+            pxyz = (px, py, pz)
+            ANC = _dg(K_SALL, jnp.concatenate(pxyz, axis=1), 0, 0)
+            axd, anc = [], []
             for comp in range(3):
-                a_j = dofify(azc[comp], ayc[comp], axc[comp])
                 rootrot = (R0x[comp] * T_RR[0] + R0y[comp] * T_RR[1]
                            + R0z[comp] * T_RR[2])
-                axd.append(a_j + rootrot + T_LEQ[comp])
-            anc = []
-            for parr in (px, py, pz):
-                anc.append(_dg(K_SALL, parr, 0, 0) + T_R6 * parr[0:1])
+                axd.append(AJ[:, comp * EL:(comp + 1) * EL]
+                           + rootrot + T_LEQ[comp])
+                anc.append(ANC[:, comp * EL:(comp + 1) * EL]
+                           + T_R6 * pxyz[comp][0:1])
 
             # ---------- inertials for bias + M handoff ---------------------
             qi = _qmul(q, C_IQ)
@@ -525,16 +548,24 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                                     vl[2] + om[0] * off[1] - om[1] * off[0]))
                 K_GA, K_GB = gab[0:SCN * nb], gab[SCN * nb:2 * SCN * nb]
                 K_PA, K_PB = pab[:, 0:CN], pab[:, CN:2 * CN]
-                wa_ = [_dg(K_GA, jnp.concatenate([w[c] for w in ws_rows], 0),
-                           0, 0) for c in range(3)]
-                wb_ = [_dg(K_GB, jnp.concatenate([w[c] for w in ws_rows], 0),
-                           0, 0) for c in range(3)]
-                va_ = [_dg(K_GA, jnp.concatenate([v[c] for v in vs_rows], 0),
-                           0, 0) for c in range(3)]
-                vb_ = [_dg(K_GB, jnp.concatenate([v[c] for v in vs_rows], 0),
-                           0, 0) for c in range(3)]
-                ca_ = [_dg(K_PA, t, 0, 0) for t in (cx_, cy_, cz_)]
-                cb_ = [_dg(K_PB, t, 0, 0) for t in (cx_, cy_, cz_)]
+                # grouped dispatch: both gather LHSs stacked on the output
+                # axis, all 6 (w/v × comp) inputs on the lane axis -> ONE
+                # (SCN·nb, 2CN)ᵀ(SCN·nb, 6EL) matmul instead of 12
+                K_GAB = jnp.concatenate([K_GA, K_GB], axis=1)
+                WV = _dg(K_GAB, jnp.concatenate(
+                    [jnp.concatenate([w[c] for w in ws_rows], 0)
+                     for c in range(3)]
+                    + [jnp.concatenate([v[c] for v in vs_rows], 0)
+                       for c in range(3)], axis=1), 0, 0)   # (2CN, 6EL)
+                wa_ = [WV[0:CN, c * EL:(c + 1) * EL] for c in range(3)]
+                wb_ = [WV[CN:2 * CN, c * EL:(c + 1) * EL] for c in range(3)]
+                va_ = [WV[0:CN, (3 + c) * EL:(4 + c) * EL] for c in range(3)]
+                vb_ = [WV[CN:2 * CN, (3 + c) * EL:(4 + c) * EL]
+                       for c in range(3)]
+                CAB = _dg(pab, jnp.concatenate([cx_, cy_, cz_], axis=1),
+                          0, 0)                              # (2CN, 3EL)
+                ca_ = [CAB[0:CN, c * EL:(c + 1) * EL] for c in range(3)]
+                cb_ = [CAB[CN:2 * CN, c * EL:(c + 1) * EL] for c in range(3)]
                 dxc = wa_[0] - wb_[0]
                 dyc = wa_[1] - wb_[1]
                 dzc = wa_[2] - wb_[2]
@@ -555,15 +586,22 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                 Tb = [-(rb[1] * Fc[2] - rb[2] * Fc[1]),
                       -(rb[2] * Fc[0] - rb[0] * Fc[2]),
                       -(rb[0] * Fc[1] - rb[1] * Fc[0])]
-                Fbody = [_dg(K_PA, Fc[c], 1, 0) - _dg(K_PB, Fc[c], 1, 0)
-                         for c in range(3)]
-                Tbody = [_dg(K_PA, Ta[c], 1, 0) + _dg(K_PB, Tb[c], 1, 0)
+                # scatter back: 12 contractions -> 2 (lane-axis grouping)
+                SA = _dg(K_PA, jnp.concatenate(Fc + Ta, axis=1), 1, 0)
+                SB = _dg(K_PB, jnp.concatenate(Fc + Tb, axis=1), 1, 0)
+                Fbody = [SA[:, c * EL:(c + 1) * EL]
+                         - SB[:, c * EL:(c + 1) * EL] for c in range(3)]
+                Tbody = [SA[:, (3 + c) * EL:(4 + c) * EL]
+                         + SB[:, (3 + c) * EL:(4 + c) * EL]
                          for c in range(3)]
                 qfrc_con = qfrc_con + dot_J6(Fbody, Tbody)
 
             # ---------- joint limits / PD prep (NP, EL) --------------------
-            qd = dofify(jz, jy, jx)
-            qveld = (dofify(vz, vy, vx)
+            QDV = _dg(K_S3, jnp.concatenate(
+                [jnp.concatenate([jz, jy, jx], axis=0),
+                 jnp.concatenate([vz, vy, vx], axis=0)], axis=1), 0, 0)
+            qd = QDV[:, 0:EL]
+            qveld = (QDV[:, EL:2 * EL]
                      + rv[0] * T_LEQ[0] + rv[1] * T_LEQ[1]
                      + rv[2] * T_LEQ[2]
                      + rw[0] * T_RR[0] + rw[1] * T_RR[1] + rw[2] * T_RR[2])
@@ -705,11 +743,11 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                     apd_ref[pl.ds(off, ET), :, :] = A_pd
                     afd_ref[pl.ds(off, ET), :, :] = A_fd
                 else:
-                    qacc_des = _pcg(A_pd, rhs_pd_s * R_VAL, Xp, pcg_iters)
+                    qacc_des = _pcg(A_pd, rhs_pd_s * R_VAL, Xp, pcg_pd)
                     tau = jnp.clip(pd_a_s - kd_i_s * dt * qacc_des,
                                    -R_TL, R_TL) * R_JNT
                     qacc = _pcg(A_fd, (rhs_b_s + tau) * R_VAL, Xf,
-                                pcg_iters)
+                                pcg_fd)
                     qvn = (qveld_s + dt * qacc) * R_VAL
                     qvnew_ref[pl.ds(off, ET), :] = qvn
                 return carry
@@ -757,18 +795,19 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                         rz = rz_new
                     return x
 
-                qacc_des = pcg_v(Apd_f, rhs_pd_f * R_VAL, Xp_f, pcg_iters)
+                qacc_des = pcg_v(Apd_f, rhs_pd_f * R_VAL, Xp_f, pcg_pd)
                 tau = jnp.clip(pd_a_f - kd_f * dt * qacc_des,
                                -R_TL, R_TL) * R_JNT
                 qacc = pcg_v(Afd_f, (rhs_b_f + tau) * R_VAL, Xf_f,
-                             pcg_iters)
+                             pcg_fd)
                 qvnew_ref[:] = (qveld_f + dt * qacc) * R_VAL
 
             # ---------- integrate (lane-major; v2 892-915) -----------------
             qvd = _dg(qvnew_ref[:], iel, 0, 0)       # (NP, EL)
-            vz_n = _dg(K_SZ, qvd, 1, 0)
-            vy_n = _dg(K_SY, qvd, 1, 0)
-            vx_n = _dg(K_SX, qvd, 1, 0)
+            V3 = _dg(K_S3, qvd, 1, 0)                # [vz;vy;vx] in one op
+            vz_n = V3[0:nb]
+            vy_n = V3[nb:2 * nb]
+            vx_n = V3[2 * nb:3 * nb]
             rv_n = (qvd[0:1], qvd[1:2], qvd[2:3])
             rw_n = (qvd[3:4], qvd[4:5], qvd[5:6])
             jz_n = jz + dt * vz_n
@@ -800,7 +839,16 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                          keepdims=True)
             return one_substep(st, ks, ds, False)
 
-        state = jax.lax.fori_loop(1, FS, loop_body, state)
+        if refresh_at is None:
+            state = jax.lax.fori_loop(1, FS, loop_body, state)
+        else:
+            # mid-window preconditioner refresh: one extra exact-inverse
+            # substep at `refresh_at` halves the staleness the PCG must
+            # correct (enables the PCG-(1,1) schedule; see docstring)
+            state = jax.lax.fori_loop(1, refresh_at, loop_body, state)
+            state = one_substep(state, kps[refresh_at:refresh_at + 1],
+                                kds[refresh_at:refresh_at + 1], True)
+            state = jax.lax.fori_loop(refresh_at + 1, FS, loop_body, state)
         (jz, jy, jx, vz, vy, vx, rp, rq, rv, rw) = state
 
         root_o[:] = jnp.concatenate(

@@ -134,6 +134,16 @@ def test_lane_kernel_big_tree_interpret():
     assert float(jnp.max(jnp.abs(q1 - q_ref))) < 1e-5
     assert float(jnp.max(jnp.abs(v1 - v_ref))) < 1e-3
 
+    # sub-tile VPU-PCG (the big-tree production routing): same physics,
+    # only reduction order in the matvecs differs
+    lane_s = make_fused_do_simulation_lane(topo, cfg, model, env_tile=8,
+                                           sub_tile=8, pcg_iters=3,
+                                           interpret=True, pcg_vpu=False,
+                                           pcg_vpu_sub=True)
+    q2, v2 = lane_s(qp, qv, act, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q2 - q_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(v2 - v_ref))) < 1e-3
+
 
 @pytest.mark.slow
 def test_lane_kernel_smplh_tree_interpret():

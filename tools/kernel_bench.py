@@ -34,10 +34,10 @@ NEUTRAL = "/root/reference/sample_data/standing_neutral.pkl"
 def parse_cfg(s):
     out = {"E": 8, "PCG": 3, "V": 100, "SPLIT": 0, "TAIL": 16, "SC": 0,
            "BF16": 0, "LANE": 0, "SUB": 16, "PCGV": 0, "PCGPD": 0,
-           "REFRESH": 0}
+           "REFRESH": 0, "PCGVS": 0, "MODEL": "smpl"}
     for kv in s.split(","):
         k, v = kv.split("=")
-        out[k.upper()] = int(v)
+        out[k.upper()] = v if k.upper() == "MODEL" else int(v)
     return out
 
 
@@ -54,20 +54,49 @@ def main():
     cfgs = [parse_cfg(a) for a in sys.argv[1:]] or [
         {"E": 8, "PCG": 3, "V": 100}]
 
-    topo, model = load_mjcf_humanoid(XML)
-    model = model_to_dtype(model, jnp.float32)
-    seqs = load_motion_file(NEUTRAL)
-    lib, _ = build_expert_library(topo, model, seqs)
+    topo24, model24 = load_mjcf_humanoid(XML)
+    model24 = model_to_dtype(model24, jnp.float32)
     env_cfg = EnvConfig(self_collision=False)   # SC=1 flips it per config
-    ndof, vf, meta = H.action_dims(topo, env_cfg)
 
-    rng = jax.random.PRNGKey(0)
-    qp0 = jnp.tile(lib["qpos"][0, 0][None], (B, 1))
-    qv0 = jnp.zeros((B, topo.nv))
-    actions = 0.01 * jax.random.normal(rng, (B, ndof + vf + meta))
-    tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
+    def build_family(name):
+        # masterfoot (48-body) / smplh (52-body) rows: the NP=160 trees
+        # the VERDICT r3 item-4 acceptance compares lane-vs-v2 on
+        if name == "masterfoot":
+            from uhc_tpu.smpl.masterfoot import masterfoot_model
+            topo, model, conv = masterfoot_model(topo24, model24, 30.0)
+            return topo, model_to_dtype(model, jnp.float32), conv
+        if name == "smplh":
+            from uhc_tpu.smpl.smplh import smplh_model, smplh_topology
+            model = smplh_model(topo24, model24)
+            return smplh_topology(), model_to_dtype(model, jnp.float32), None
+        return topo24, model24, None
 
+    fam_cache = {}
     for c in cfgs:
+        if c["MODEL"] not in fam_cache:
+            topo, model, conv = build_family(c["MODEL"])
+            seqs = load_motion_file(NEUTRAL)
+            lib, _ = build_expert_library(topo24, model24, seqs,
+                                          max_len=4)
+            qp00 = lib["qpos"][0, 0]
+            tb0 = lib["qpos"][0, 1, 7:]
+            if conv is not None:
+                qp00 = conv.qpos_smpl_2_new(qp00)
+                tb0 = conv.qpos_smpl_2_new(lib["qpos"][0, 1])[7:]
+            elif c["MODEL"] == "smplh":
+                from uhc_tpu.smpl.smplh import smplh_to_qpose
+                import numpy as np
+                pose_aa = np.asarray(seqs[list(seqs)[0]]["pose_aa"])[:2]
+                q2 = smplh_to_qpose(pose_aa, model.body_pos[0])
+                qp00, tb0 = q2[0], q2[1, 7:]
+            fam_cache[c["MODEL"]] = (topo, model, qp00, tb0)
+        topo, model, qp00, tb0 = fam_cache[c["MODEL"]]
+        ndof, vf, meta = H.action_dims(topo, env_cfg)
+        rng = jax.random.PRNGKey(0)
+        qp0 = jnp.tile(qp00[None], (B, 1))
+        qv0 = jnp.zeros((B, topo.nv))
+        actions = 0.01 * jax.random.normal(rng, (B, ndof + vf + meta))
+        tb = jnp.tile(tb0[None], (B, 1))
         label = ",".join(f"{k}={v}" for k, v in c.items())
         try:
             cfg_i = (env_cfg if not c["SC"]
@@ -83,7 +112,8 @@ def main():
                     topo, cfg_i, model, env_tile=c["E"], sub_tile=c["SUB"],
                     pcg_iters=iters, vmem_limit_mb=c["V"],
                     pcg_vpu=bool(c["PCGV"]),
-                    refresh_at=c["REFRESH"] or None)
+                    refresh_at=c["REFRESH"] or None,
+                    pcg_vpu_sub=bool(c["PCGVS"]))
             else:
                 fused = make_fused_do_simulation(
                     topo, cfg_i, model, env_tile=c["E"], pcg_iters=c["PCG"],

@@ -910,7 +910,12 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
             fast_sim = make_fused_do_simulation_lane(
                 topo, cfg, fused_model, env_tile=128,
                 sub_tile=8 if big else 32,
-                pcg_iters=fused_pcg_iters, pcg_vpu=not big)
+                pcg_iters=fused_pcg_iters, pcg_vpu=not big,
+                # big trees: the deferred full-EL VPU-PCG's (EL,NP,NP)
+                # staging buffers exceed VMEM at NP=160, but the VPU
+                # matvec formulation still applies per sub-tile on the
+                # locally assembled systems (no extra scratch)
+                pcg_vpu_sub=big)
         else:
             from uhc_tpu.physics.pallas_substep import \
                 make_fused_do_simulation

@@ -67,7 +67,8 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                                   interpret: bool = False,
                                   vmem_limit_mb: int = 100,
                                   pcg_vpu: bool = False,
-                                  refresh_at: int | None = None):
+                                  refresh_at: int | None = None,
+                                  pcg_vpu_sub: bool = False):
     """Build the lane-major fused control step.
 
     Returns fn(qpos (B,nq), qvel (B,nv), actions (B,act), target_base
@@ -287,6 +288,33 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
         def T_env(x):
             """(d, EL) -> (EL, d) via MXU identity (exact in f32)."""
             return _dg(iel, x, 1, 1)
+
+        def mv_v(A, x):
+            """env-major VPU matvec: (n,NP,NP)·(n,NP) elementwise + lane
+            reduction — full 128-lane utilization at any batch n (the MXU
+            batched matvec has one rhs per env: ~0.2% utilization)."""
+            return jnp.sum(A * x[:, None, :], axis=-1)
+
+        def pcg_v(A, b, X, iters):
+            x = mv_v(X, b)
+            r = b - mv_v(A, x)
+            z = mv_v(X, r)
+            pv = z
+            rz = jnp.sum(r * z, axis=-1, keepdims=True)
+            for it in range(iters):
+                Ap = mv_v(A, pv)
+                alpha = rz / (jnp.sum(pv * Ap, axis=-1,
+                                      keepdims=True) + 1e-12)
+                x = x + alpha * pv
+                if it + 1 == iters:
+                    break  # final r/z/beta are dead work
+                r = r - alpha * Ap
+                z = mv_v(X, r)
+                rz_new = jnp.sum(r * z, axis=-1, keepdims=True)
+                beta = rz_new / (rz + 1e-12)
+                pv = z + beta * pv
+                rz = rz_new
+            return x
 
         K_S3 = cs[0:3 * nb]  # [Sz; Sy; Sx] stacked: one (3nb,NP) contraction
 
@@ -743,11 +771,16 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                     apd_ref[pl.ds(off, ET), :, :] = A_pd
                     afd_ref[pl.ds(off, ET), :, :] = A_fd
                 else:
-                    qacc_des = _pcg(A_pd, rhs_pd_s * R_VAL, Xp, pcg_pd)
+                    # pcg_vpu_sub: VPU matvecs on the locally-assembled
+                    # (ET,NP,NP) systems — no full-EL A staging buffers, so
+                    # the VPU formulation fits big trees (NP=160) where the
+                    # deferred pcg_vpu path exceeds VMEM
+                    solve = pcg_v if pcg_vpu_sub else _pcg
+                    qacc_des = solve(A_pd, rhs_pd_s * R_VAL, Xp, pcg_pd)
                     tau = jnp.clip(pd_a_s - kd_i_s * dt * qacc_des,
                                    -R_TL, R_TL) * R_JNT
-                    qacc = _pcg(A_fd, (rhs_b_s + tau) * R_VAL, Xf,
-                                pcg_fd)
+                    qacc = solve(A_fd, (rhs_b_s + tau) * R_VAL, Xf,
+                                 pcg_fd)
                     qvn = (qveld_s + dt * qacc) * R_VAL
                     qvnew_ref[pl.ds(off, ET), :] = qvn
                 return carry
@@ -770,30 +803,6 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                 rhs_b_f = vv_f[:, 8 * NP:9 * NP]
                 kd_f = vv_f[:, 9 * NP:10 * NP]
                 qveld_f = vv_f[:, 11 * NP:12 * NP]
-
-                def mv_v(A, x):
-                    return jnp.sum(A * x[:, None, :], axis=-1)
-
-                def pcg_v(A, b, X, iters):
-                    x = mv_v(X, b)
-                    r = b - mv_v(A, x)
-                    z = mv_v(X, r)
-                    pv = z
-                    rz = jnp.sum(r * z, axis=-1, keepdims=True)
-                    for it in range(iters):
-                        Ap = mv_v(A, pv)
-                        alpha = rz / (jnp.sum(pv * Ap, axis=-1,
-                                              keepdims=True) + 1e-12)
-                        x = x + alpha * pv
-                        if it + 1 == iters:
-                            break  # final r/z/beta are dead work
-                        r = r - alpha * Ap
-                        z = mv_v(X, r)
-                        rz_new = jnp.sum(r * z, axis=-1, keepdims=True)
-                        beta = rz_new / (rz + 1e-12)
-                        pv = z + beta * pv
-                        rz = rz_new
-                    return x
 
                 qacc_des = pcg_v(Apd_f, rhs_pd_f * R_VAL, Xp_f, pcg_pd)
                 tau = jnp.clip(pd_a_f - kd_f * dt * qacc_des,

@@ -106,3 +106,44 @@ def test_uhm_agent_supervised_smoke():
     assert np.isfinite(stats["supervised_loss"])
     agent.save_checkpoint(0)
     agent.load_checkpoint(0)
+
+
+def test_env_obs_layout_matches_env():
+    """env_obs=True supervised rollouts must build EXACTLY the feature
+    vector the hierarchical env feeds the net (humanoid_kin.ar_obs_from ==
+    get_ar_obs_v1 on the same state/target)."""
+    import dataclasses as DC
+
+    from uhc_tpu.config.config import EnvConfig
+    from uhc_tpu.data.dataset import build_expert_library, load_motion_file
+    from uhc_tpu.envs import humanoid_kin as K
+    from uhc_tpu.learn import kin_net as KN
+    from uhc_tpu.physics.model import model_to_dtype
+    from uhc_tpu.smpl.mjcf import load_mjcf_humanoid
+
+    xml = "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+    topo, model = load_mjcf_humanoid(xml)
+    model = model_to_dtype(model, jnp.float32)
+    seqs = load_motion_file(
+        "/root/reference/sample_data/standing_neutral.pkl")
+    lib, _ = build_expert_library(topo, model, seqs, max_len=10)
+    cc_cfg = EnvConfig()
+
+    state = K.kin_env_reset(topo, model, K.KinConfig(),
+                            jax.random.PRNGKey(0),
+                            jnp.zeros((), jnp.int32), lib)
+    obs_env = K.get_ar_obs_v1(topo, model, cc_cfg, state, lib)
+    gt_next = K.context_at(lib, state.seq_idx, jnp.asarray(1))["qpos"]
+    obs_pure = K.ar_obs_from(topo, model, cc_cfg, state.qpos, state.qvel,
+                             gt_next)
+    np.testing.assert_allclose(np.asarray(obs_env), np.asarray(obs_pure),
+                               atol=1e-6)
+
+    # env_obs rollout runs and produces the same shapes as the default
+    specs = KN.KinNetSpecs(env_obs=True)
+    params = KN.kin_net_init(jax.random.PRNGKey(1), topo, specs)
+    qpos_w = lib["qpos"][0, :8]
+    qvel_w = lib["qvel"][0, :8]
+    out = KN.kin_net_rollout(params, topo, model, specs, qpos_w, qvel_w)
+    assert out["qpos"].shape == qpos_w.shape
+    assert np.all(np.isfinite(np.asarray(out["qpos"])))

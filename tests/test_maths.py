@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 from scipy.spatial.transform import Rotation as sRot
 
+import jax
 import jax.numpy as jnp
 from uhc_tpu import maths as M
 
@@ -151,3 +152,44 @@ def test_wrap_to_pi():
     assert np.all(got <= np.pi + 1e-6) and np.all(got >= -np.pi - 1e-6)
     np.testing.assert_allclose(np.cos(got), np.cos(x), atol=1e-6)
     np.testing.assert_allclose(np.sin(got), np.sin(x), atol=1e-6)
+
+
+def test_gradient_poles_at_identity():
+    """Backward-pass regression (r4): heading_angle used acos whose gradient
+    is infinite at w=±1, and quat_to_rotvec's vector norm has a NaN gradient
+    at the exact-identity quaternion. Both states occur EXACTLY in training
+    whenever scheduled sampling resets the integrator to a GT frame built
+    from the same float constants (q ⊗ q⁻¹ cancels bitwise), and the NaN
+    survives jnp.where selection (0·NaN) — observed as a stochastic
+    supervised-loss NaN in the UHM env_obs runs."""
+    ident = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+
+    g = jax.grad(lambda q: M.heading_angle(q))(ident)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    g = jax.grad(lambda q: jnp.sum(M.quat_to_rotvec(q)))(ident)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    g = jax.grad(lambda q: jnp.sum(M.quat_normalize(q)))(jnp.zeros(4))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # the exact training-path composition: obs features of a root quat that
+    # cancels to identity, reached through a jnp.where GT-reset select
+    base = jnp.asarray([0.7071, 0.7071, 0.0, 0.0])
+
+    def f(q):
+        cur = M.quat_mul(q, M.quat_inv(base))
+        rel = M.heading_angle(cur) + jnp.sum(M.heading_quat(cur))
+        return jnp.sum(jnp.where(True, 0.0, rel))  # unselected branch
+
+    g = jax.grad(f)(base)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # value parity of the atan2 form vs 2*acos(w) on generic quats
+    q = rand_quats(64)
+    hq = q * np.array([1.0, 0, 0, 1.0])
+    hq *= np.where(hq[:, 3:4] < 0, -1.0, 1.0)
+    hq /= np.linalg.norm(hq, axis=1, keepdims=True)
+    want = 2.0 * np.arccos(np.clip(hq[:, 0], -1, 1))
+    got = np.asarray(M.heading_angle(jnp.asarray(q)))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -153,11 +153,22 @@ def get_ar_obs_v1(topo: Topology, model: Model, cc_cfg: EnvConfig,
     """Kin-policy observation (humanoid_kin_v1.py:162 get_ar_obs_v1): sim
     state vs the FK of the GT *next* frame. Same 640-dim layout as obs_v2
     minus shape obs."""
-    qpos, qvel = state.qpos, state.qvel
-    base_rot = jnp.asarray(cc_cfg.base_rot, qpos.dtype)
     gt = context_at(context_lib, state.seq_idx,
                     state.start_ind + state.cur_t + 1)
-    input_qpos = gt["qpos"]
+    return ar_obs_from(topo, model, cc_cfg, state.qpos, state.qvel,
+                       gt["qpos"])
+
+
+def ar_obs_from(topo: Topology, model: Model, cc_cfg: EnvConfig,
+                qpos, qvel, input_qpos) -> jnp.ndarray:
+    """The pure feature function behind get_ar_obs_v1: (sim qpos/qvel,
+    target GT frame) -> obs. Shared with KinNet's env-layout supervised
+    training (kin_net.KinNetSpecs.env_obs) so the net sees IDENTICAL
+    features in supervised pretraining, RL, and eval — the reference's
+    KinNet.get_obs (kin_net.py:285) uses a different jpos ravel order and
+    frame offset than its own env, so supervised progress there only
+    partially transfers to the hierarchical rollout."""
+    base_rot = jnp.asarray(cc_cfg.base_rot, qpos.dtype)
     target = qpos_fk_frame(topo, model, input_qpos)
     kin = E.fk(topo, model, qpos)
     obs = []

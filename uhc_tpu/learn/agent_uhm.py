@@ -111,7 +111,8 @@ class UHMAgent:
             pose_delta=ms.get("pose_delta", False),
             remove_base=d.get("remove_base", True),
             base_rot=self.env_cfg.base_rot,
-            log_std=kin_cfg.log_std)
+            log_std=kin_cfg.log_std,
+            env_obs=ms.get("env_obs", False))
 
         # frozen low-level controller
         ndof, vf, meta = H.action_dims(self.topo, self.env_cfg)
@@ -299,6 +300,11 @@ class UHMAgent:
             return jnp.mean(jax.vmap(one)(qpos_w, qvel_w, wbpos_w, ss_mask))
 
         loss, g = jax.value_and_grad(loss_fn)(params)
+        # clip like the RL path: early env_obs epochs see grad norms >180
+        # and one bad scheduled-sampling draw can NaN the run (observed)
+        gnorm = optax.global_norm(g)
+        g = jax.tree.map(
+            lambda x: x * jnp.minimum(1.0, 40.0 / (gnorm + 1e-8)), g)
         u, opt_state = self.opt.update(g, opt_state)
         params = optax.apply_updates(params, u)
         return params, opt_state, loss

@@ -61,6 +61,13 @@ class KinNetSpecs:
     remove_base: bool = False
     base_rot: Tuple[float, ...] = (0.7071, 0.7071, 0.0, 0.0)
     log_std: float = -2.3     # KinPolicy fixed-std head
+    # env_obs=True: supervised rollouts build the observation with the
+    # ENV's own feature function (humanoid_kin.ar_obs_from) and target the
+    # NEXT GT frame — the layout the net sees at RL/eval time. The default
+    # False keeps the reference KinNet.get_obs conventions (kin_net.py:285:
+    # current-frame target, body-major jpos ravel), which deviate from the
+    # reference's own env and cap supervised->rollout transfer.
+    env_obs: bool = False
 
 
 def kin_obs_dim(topo: Topology, obs_vel: str = "full") -> int:
@@ -181,10 +188,21 @@ def kin_net_rollout(params, topo: Topology, model: Model, specs: KinNetSpecs,
     h0 = jnp.zeros((specs.rnn_hdim,), gt_qpos_seq.dtype)
     qpos0, qvel0 = gt_qpos_seq[0], gt_qvel_seq[0]   # init_states (ref :264)
 
+    if specs.env_obs:
+        from uhc_tpu.config.config import EnvConfig
+        from uhc_tpu.envs.humanoid_kin import ar_obs_from
+        cc_cfg = EnvConfig(base_rot=specs.base_rot)
+
     def scan_fn(carry, inp):
         qpos, qvel, h = carry
         gt_qpos_t, gt_qpos_next, gt_qvel_next, use_gt = inp
-        state = kin_net_obs(topo, model, specs, qpos, qvel, gt_qpos_t)
+        if specs.env_obs:
+            # env layout + NEXT-frame target: what get_ar_obs_v1 feeds the
+            # net in the hierarchical rollout
+            state = ar_obs_from(topo, model, cc_cfg, qpos, qvel,
+                                gt_qpos_next)
+        else:
+            state = kin_net_obs(topo, model, specs, qpos, qvel, gt_qpos_t)
         action, h = kin_net_action(params, specs, state, h)
         nqpos, nqvel = kin_net_step(specs, qpos, qvel, action)
         # scheduled sampling: reset integrator to GT with prob gt_rate

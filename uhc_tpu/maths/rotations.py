@@ -56,8 +56,18 @@ def quat_inv(q: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _safe_norm(v: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """‖v‖ with a NaN-free gradient at v=0 (double-where): the plain
+    norm's backward is v/‖v‖ = 0/0 there, and even an unselected
+    `jnp.where` branch propagates that NaN (0·NaN). Forward value is
+    identical to jnp.linalg.norm for ‖v‖² > eps² and eps below it."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    safe = sq > eps * eps
+    return jnp.where(safe, jnp.sqrt(jnp.where(safe, sq, 1.0)), eps)
+
+
 def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    return q / _safe_norm(q, eps)
 
 
 def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -176,7 +186,9 @@ def quat_to_rotvec(q: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     sign so w >= 0 yields the same axis*angle vector as their while-loop wrap.
     """
     q = q * jnp.where(q[..., 0:1] < 0, -1.0, 1.0)
-    vn = jnp.linalg.norm(q[..., 1:4], axis=-1, keepdims=True)
+    # _safe_norm: identity dq (v=0 exactly — e.g. fd-velocity of a
+    # scheduled-sampling GT reset) must not NaN the backward pass
+    vn = _safe_norm(q[..., 1:4], 1e-12)
     angle = 2.0 * jnp.arctan2(vn, q[..., 0:1])
     k = jnp.where(vn < eps, 2.0 / jnp.maximum(q[..., 0:1], eps), angle / jnp.maximum(vn, eps))
     return q[..., 1:4] * k
@@ -238,11 +250,21 @@ def heading_quat(q: jnp.ndarray) -> jnp.ndarray:
 
 def heading_angle(q: jnp.ndarray) -> jnp.ndarray:
     """Heading as 2*acos(w) of the sign-fixed heading quat
-    (math_utils.get_heading). Range [0, 2π)."""
-    hq = q * jnp.asarray([1.0, 0.0, 0.0, 1.0], dtype=q.dtype)
-    hq = hq * jnp.where(hq[..., 3:4] < 0, -1.0, 1.0)
-    hq = quat_normalize(hq)
-    return 2.0 * jnp.arccos(jnp.clip(hq[..., 0], -1.0, 1.0))
+    (math_utils.get_heading). Range [0, 2π).
+
+    Computed as 2·atan2(z, w) with z sign-fixed ≥ 0 — identical value
+    (acos(w/‖(w,z)‖) == atan2(z, w) for z ≥ 0) but with a finite gradient
+    at zero heading, where acos'(±1) = ∞ would NaN any training loss that
+    differentiates an observation built from a GT-reset root quat."""
+    w = q[..., 0]
+    z = q[..., 3]
+    w = w * jnp.where(z < 0, -1.0, 1.0)
+    z = jnp.abs(z)
+    sq = w * w + z * z
+    safe = sq > 1e-16
+    ang = 2.0 * jnp.arctan2(jnp.where(safe, z, 0.0),
+                            jnp.where(safe, w, 1.0))
+    return ang
 
 
 def heading_angle_new(q: jnp.ndarray) -> jnp.ndarray:

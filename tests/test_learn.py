@@ -142,3 +142,39 @@ def test_nn_zoo_remnants():
         y = nets.video_state_net_apply(p, jnp.zeros((7, 32)))
         assert y.shape == (7, 128)
     assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_video_nets_stragglers():
+    """MobileNet / VideoRegNet / VideoForecastNet inventory twins
+    (reference: uhc/khrylib/models/{mobile_net,video_reg_net,
+    video_forecast_net}.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uhc_tpu.learn import nets
+
+    key = jax.random.PRNGKey(0)
+    # MobileNet-v1: size-agnostic global pool; tiny input keeps CPU fast.
+    p = nets.mobile_net_init(key, 48)
+    y = nets.mobile_net_apply(p, jnp.ones((2, 3, 32, 32)))
+    assert y.shape == (2, 48)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    # VideoRegNet: frames -> per-frame regression.
+    p = nets.video_reg_net_init(key, out_dim=10, v_hdim=64, cnn_fdim=32,
+                                cnn_type="mobile", v_net_type="gru",
+                                mlp_dim=(40, 20))
+    y = nets.video_reg_net_apply(p, jnp.ones((4, 3, 32, 32)))
+    assert y.shape == (4, 10)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    # VideoForecastNet: margin-window context + per-step state branch.
+    for s_net_type in ("id", "gru"):
+        p = nets.video_forecast_net_init(key, cnn_feat_dim=32, state_dim=12,
+                                         v_hdim=16, v_margin=3,
+                                         s_net_type=s_net_type, s_hdim=12)
+        v_out, s_state = nets.video_forecast_initialize(
+            p, jnp.ones((5, 32)))
+        assert v_out.shape == (16,)
+        feat, s_state = nets.video_forecast_step(
+            p, v_out, s_state, jnp.ones((12,)))
+        assert feat.shape == (16 + 12,)
+        assert bool(jnp.all(jnp.isfinite(feat)))

@@ -584,3 +584,124 @@ def video_state_net_apply(params, feats, causal: bool = False):
 
     _, outs = jax.lax.scan(step, h0, feats)
     return outs
+
+def _dwconv2d_init(key, cin, ksize, dtype=jnp.float32):
+    scale = 1.0 / np.sqrt(ksize * ksize)
+    k1, k2 = jax.random.split(key)
+    return {"w": jax.random.uniform(k1, (cin, 1, ksize, ksize), dtype,
+                                    -scale, scale),
+            "b": jax.random.uniform(k2, (cin,), dtype, -scale, scale)}
+
+
+_MOBILE_STAGES = ((32, 64, 1), (64, 128, 2), (128, 128, 1), (128, 256, 2),
+                  (256, 256, 1), (256, 512, 2), (512, 512, 1), (512, 512, 1),
+                  (512, 512, 1), (512, 512, 1), (512, 512, 1), (512, 1024, 2),
+                  (1024, 1024, 1))
+
+
+def mobile_net_init(key, out_dim: int, dtype=jnp.float32):
+    """MobileNet-v1 feature net (khrylib/models/mobile_net.py:5): stride-2
+    stem then 13 depthwise-separable stages, pool, linear. BatchNorm is
+    replaced by the conv biases (these zoo nets are inventory twins, not
+    pretrained-weight loaders), and the fixed AvgPool2d(7) by a global mean
+    pool — identical at the canonical 224×224 input, size-agnostic
+    elsewhere."""
+    ks = jax.random.split(key, 2 + 2 * len(_MOBILE_STAGES))
+    p = {"stem": _conv2d_init(ks[0], 3, 32, 3, dtype), "stages": []}
+    for i, (cin, cout, _) in enumerate(_MOBILE_STAGES):
+        p["stages"].append({
+            "dw": _dwconv2d_init(ks[1 + 2 * i], cin, 3, dtype),
+            "pw": _conv2d_init(ks[2 + 2 * i], cin, cout, 1, dtype)})
+    p["fc"] = _linear_init(ks[-1], 1024, out_dim, dtype=dtype)
+    return p
+
+
+def mobile_net_apply(params, x):
+    """x: (B, 3, H, W) -> (B, out_dim)."""
+    x = jax.lax.conv_general_dilated(
+        x, params["stem"]["w"], (2, 2), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    x = jax.nn.relu(x + params["stem"]["b"][None, :, None, None])
+    for st, (cin, _, stride) in zip(params["stages"], _MOBILE_STAGES):
+        y = jax.lax.conv_general_dilated(
+            x, st["dw"]["w"], (stride, stride), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=cin)
+        y = jax.nn.relu(y + st["dw"]["b"][None, :, None, None])
+        y = jax.lax.conv_general_dilated(
+            y, st["pw"]["w"], (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        x = jax.nn.relu(y + st["pw"]["b"][None, :, None, None])
+    x = jnp.mean(x, axis=(2, 3))
+    return x @ params["fc"]["w"] + params["fc"]["b"]
+
+
+def video_reg_net_init(key, out_dim: int, v_hdim: int, cnn_fdim: int,
+                       cnn_type: str = "resnet", v_net_type: str = "gru",
+                       mlp_dim=(300, 200), tcn_size=(64, 128),
+                       dtype=jnp.float32):
+    """VideoRegNet (khrylib/models/video_reg_net.py:10): per-frame CNN ->
+    temporal net -> MLP -> linear regression head. The reference's LSTM
+    option maps onto the zoo GRU (video_state_net)."""
+    ks = jax.random.split(key, 4)
+    cnn = (mobile_net_init(ks[0], cnn_fdim, dtype) if cnn_type == "mobile"
+           else resnet_feat_init(ks[0], cnn_fdim, dtype=dtype))
+    return {
+        "cnn_type": cnn_type,
+        "cnn": cnn,
+        "v_net": video_state_net_init(ks[1], cnn_fdim, v_hdim, v_net_type,
+                                      tcn_size, dtype=dtype),
+        "mlp": mlp_init(ks[2], v_hdim, tuple(mlp_dim), dtype),
+        "fc": _linear_init(ks[3], mlp_dim[-1], out_dim, dtype=dtype),
+    }
+
+
+def video_reg_net_apply(params, frames, causal: bool = False):
+    """frames: (T, 3, H, W) -> (T, out_dim) (video_reg_net.py:59 forward)."""
+    cnn_apply = (mobile_net_apply if params["cnn_type"] == "mobile"
+                 else resnet_feat_apply)
+    feats = cnn_apply(params["cnn"], frames)          # (T, cnn_fdim)
+    v = video_state_net_apply(params["v_net"], feats, causal)
+    y = mlp_apply(params["mlp"], v, "relu")
+    return y @ params["fc"]["w"] + params["fc"]["b"]
+
+
+def video_forecast_net_init(key, cnn_feat_dim: int, state_dim: int,
+                            v_hdim: int = 128, v_margin: int = 10,
+                            s_net_type: str = "id", s_hdim=None,
+                            dtype=jnp.float32):
+    """VideoForecastNet (khrylib/models/video_forecast_net.py:7): a video
+    branch summarizes the first `v_margin` frames' CNN features into a fixed
+    context; a state branch ('id' passthrough or GRU) encodes the running
+    sim state; the policy consumes their concatenation."""
+    s_hdim = state_dim if s_hdim is None else s_hdim
+    k1, k2 = jax.random.split(key)
+    p = {"v_margin": v_margin, "s_net_type": s_net_type,
+         "out_dim": v_hdim + s_hdim,
+         "v_net": video_state_net_init(k1, cnn_feat_dim, v_hdim)}
+    if s_net_type == "gru":
+        p["s_net"] = gru_init(k2, state_dim, s_hdim, dtype)
+        p["s_hdim"] = s_hdim
+    return p
+
+
+def video_forecast_initialize(params, cnn_feats):
+    """Test-mode initialize (video_forecast_net.py:58): run the causal video
+    net over the margin window, keep the last output as the episode's fixed
+    video context. Returns (v_out, s_state)."""
+    v = video_state_net_apply(params["v_net"],
+                              cnn_feats[:params["v_margin"]], causal=True)
+    s_state = (jnp.zeros((params["s_hdim"],), cnn_feats.dtype)
+               if params["s_net_type"] == "gru" else None)
+    return v[-1], s_state
+
+
+def video_forecast_step(params, v_out, s_state, state):
+    """Per-step feature (video_forecast_net.py:95 forward, test mode):
+    concat(video context, state encoding). Returns (feature, s_state')."""
+    if params["s_net_type"] == "gru":
+        s_state = gru_apply(params["s_net"], state, s_state)
+        s = s_state
+    else:
+        s = state
+    return jnp.concatenate([v_out, s], axis=-1), s_state

@@ -222,3 +222,64 @@ def test_lane_kernel_schedule_variants_interpret():
     q2, v2 = lane_r(qp, qv, act, tb, 1.0)
     assert float(jnp.max(jnp.abs(q2 - q_ref))) < 2e-3
     assert float(jnp.max(jnp.abs(v2 - v_ref))) < 2e-1
+
+
+@pytest.mark.slow
+def test_lane_kernel_per_env_model_interpret():
+    """Per-env (shape-library) models through the lane kernel vs the XLA
+    solver on the SAME gathered models (pallas_lane per_env path; the
+    shape-conditioned family, VERDICT r3 weak #6). Two shapes, envs
+    alternating between them by seq_idx."""
+    import dataclasses
+
+    from uhc_tpu.physics.model import model_gather
+    from uhc_tpu.physics.pallas_lane import (PE_MODEL_LEAVES,
+                                             make_fused_do_simulation_lane)
+
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    seqs = load_motion_file(NEUTRAL)
+    lib, _ = build_expert_library(topo, model, seqs, max_len=8)
+
+    # a second, uniformly-scaled shape (the model_from_betas s/s^3/s^5 law,
+    # smpl/robot.py:60-69) + a slightly tighter knee range to exercise the
+    # per-env jnt_range path
+    s = 0.93
+    jr2 = np.array(np.asarray(model.jnt_range), np.float32)
+    jr2[:, 0] *= 0.9
+    jr2[:, 1] *= 0.9
+    m2 = dataclasses.replace(
+        model,
+        body_pos=model.body_pos * s, body_ipos=model.body_ipos * s,
+        body_mass=model.body_mass * s**3,
+        body_inertia=model.body_inertia * s**5,
+        contact_point=model.contact_point * s,
+        sc_point=model.sc_point * s, sc_radius=model.sc_radius * s,
+        jnt_range=jnp.asarray(jr2))
+    model_lib = dataclasses.replace(model, **{
+        f: jnp.stack([getattr(model, f), getattr(m2, f)])
+        for f in PE_MODEL_LEAVES})
+
+    B = 16
+    rng = jax.random.PRNGKey(0)
+    seq_idx = jnp.asarray(np.arange(B) % 2, jnp.int32)
+    qp = jnp.tile(lib["qpos"][0, 0][None], (B, 1))
+    qv = 0.05 * jax.random.normal(rng, (B, topo.nv))
+    tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
+
+    cfg = EnvConfig(self_collision=True)
+    nd, vf, meta = H.action_dims(topo, cfg)
+    act = 0.02 * jax.random.normal(rng, (B, nd + vf + meta))
+
+    sim = S.make_do_simulation(topo, cfg, pcg_iters=3)
+    m_envs = model_gather(model_lib, seq_idx)
+    q_ref, v_ref = sim(m_envs, qp, qv, act, tb, 1.0)
+
+    lane = make_fused_do_simulation_lane(topo, cfg, model_lib, env_tile=16,
+                                         sub_tile=8, pcg_iters=3,
+                                         interpret=True, pcg_vpu=True)
+    q1, v1 = lane(qp, qv, act, tb, 1.0, seq_idx)
+    assert float(jnp.max(jnp.abs(q1 - q_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(v1 - v_ref))) < 1e-3
+    # the two shapes must actually integrate differently
+    assert float(jnp.max(jnp.abs(q1[0] - q1[1]))) > 1e-6

@@ -84,10 +84,12 @@ def main():
                 qp00 = conv.qpos_smpl_2_new(qp00)
                 tb0 = conv.qpos_smpl_2_new(lib["qpos"][0, 1])[7:]
             elif c["MODEL"] == "smplh":
-                from uhc_tpu.smpl.smplh import smplh_to_qpose
+                # 72-dof SMPL clip on the 52-body tree: flat-hand routing
+                # (dataset._pose_to_qpose pads the finger chains)
+                from uhc_tpu.data.dataset import _pose_to_qpose
                 import numpy as np
                 pose_aa = np.asarray(seqs[list(seqs)[0]]["pose_aa"])[:2]
-                q2 = smplh_to_qpose(pose_aa, model.body_pos[0])
+                q2 = _pose_to_qpose(topo, model, pose_aa, None)
                 qp00, tb0 = q2[0], q2[1, 7:]
             fam_cache[c["MODEL"]] = (topo, model, qp00, tb0)
         topo, model, qp00, tb0 = fam_cache[c["MODEL"]]

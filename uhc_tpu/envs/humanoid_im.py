@@ -879,29 +879,46 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
     the substep chain through the fused Pallas control-step kernel
     (physics.pallas_substep) when the config allows it — the kernel bakes
     the model, so it must equal the model passed at step time."""
+    fused_per_env = False
     if fused_model is not None:
-        from uhc_tpu.physics.model import model_is_batched
-        if not fused_compatible(cfg) or model_is_batched(fused_model):
+        from uhc_tpu.physics.model import model_batch_axes, model_is_batched
+        if not fused_compatible(cfg):
             fused_model = None        # incompatible config -> XLA fallback
+        elif model_is_batched(fused_model):
+            # shape-conditioned model LIBRARY: the lane kernel gathers the
+            # per-env shape tables by seq_idx (pallas_lane per_env path);
+            # leaves outside its supported set (or the v2 kernel) fall back
+            from uhc_tpu.physics.pallas_lane import PE_MODEL_LEAVES
+            import dataclasses as _dc
+            axes = model_batch_axes(fused_model)
+            batched = {f.name for f in _dc.fields(type(fused_model))
+                       if getattr(axes, f.name) == 0}
+            if batched <= set(PE_MODEL_LEAVES):
+                fused_per_env = True
+            else:
+                fused_model = None
     if cfg.action_type == "torque":
         # torque control (ball family) runs the generic per-env path — the
         # maintained-inverse solver's PD-target algebra assumes euler qpos
         use_fast_solver = False
         fused_model = None
+    # Lane-major (v3) kernel by default — measured 437k substeps/s vs
+    # 301k for the v2 head/tail split (PERF.md round-3 table). The
+    # 24-body SMPL tree gets the full production config (VPU-PCG over
+    # EL=128, ET=32). Larger trees (masterfoot 48 / SMPL-H 52, NP=160)
+    # drop the deferred VPU-PCG — its two extra (128, NP, NP) staging
+    # buffers don't fit the v5e VMEM budget at NP=160 — and solve
+    # env-major per ET=8 sub-tile instead. UHC_TPU_LANE=0 forces v2
+    # everywhere; UHC_TPU_LANE_BIG=0 forces v2 for >32-body trees only.
+    use_lane = (os.environ.get("UHC_TPU_LANE", "1") == "1"
+                and (topo.nbody <= 32
+                     or (topo.nbody <= 52
+                         and os.environ.get("UHC_TPU_LANE_BIG",
+                                            "1") == "1")))
+    if fused_per_env and not use_lane:
+        fused_model = None            # per-env models are lane-only
+        fused_per_env = False
     if fused_model is not None:
-        # Lane-major (v3) kernel by default — measured 437k substeps/s vs
-        # 301k for the v2 head/tail split (PERF.md round-3 table). The
-        # 24-body SMPL tree gets the full production config (VPU-PCG over
-        # EL=128, ET=32). Larger trees (masterfoot 48 / SMPL-H 52, NP=160)
-        # drop the deferred VPU-PCG — its two extra (128, NP, NP) staging
-        # buffers don't fit the v5e VMEM budget at NP=160 — and solve
-        # env-major per ET=8 sub-tile instead. UHC_TPU_LANE=0 forces v2
-        # everywhere; UHC_TPU_LANE_BIG=0 forces v2 for >32-body trees only.
-        use_lane = (os.environ.get("UHC_TPU_LANE", "1") == "1"
-                    and (topo.nbody <= 32
-                         or (topo.nbody <= 52
-                             and os.environ.get("UHC_TPU_LANE_BIG",
-                                                "1") == "1")))
         if use_lane:
             from uhc_tpu.physics.pallas_lane import \
                 make_fused_do_simulation_lane
@@ -953,8 +970,13 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
             expert_lib, s.seq_idx, s.start_ind + s.cur_t + 1))(states)
         target_base = tgt["qpos"][:, 7:]
         if fast_sim is not None and not fast_sim_takes_model:
-            qpos, qvel = fast_sim(states.qpos, states.qvel, actions,
-                                  target_base, rfc_rate)
+            if fused_per_env:
+                qpos, qvel = fast_sim(states.qpos, states.qvel, actions,
+                                      target_base, rfc_rate,
+                                      states.seq_idx)
+            else:
+                qpos, qvel = fast_sim(states.qpos, states.qvel, actions,
+                                      target_base, rfc_rate)
         elif fast_sim is not None:
             qpos, qvel = fast_sim(m, states.qpos, states.qvel, actions,
                                   target_base, rfc_rate)

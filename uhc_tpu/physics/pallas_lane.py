@@ -38,6 +38,8 @@ fits NP=160 in v5e VMEM; the solves then run env-major per ET=8 sub-tile.
 """
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 import jax
@@ -52,6 +54,13 @@ from uhc_tpu.physics.pallas_substep import (
 
 F32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
+
+# Model leaves that may carry a leading (S,) shape-library dim on the
+# per-env path — exactly what model_from_betas(_exact) varies per shape
+# (smpl/robot.py:60-69,126-128). Everything else must be shared.
+PE_MODEL_LEAVES = ("body_pos", "body_ipos", "body_mass", "body_inertia",
+                   "body_iquat", "jnt_range", "contact_point", "sc_point",
+                   "sc_radius")
 
 
 def _dg(a, b, ca, cb):
@@ -109,10 +118,49 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
     ndof_, vf_dim, meta_dim = H.action_dims(topo, cfg)
     assert ndof_ == ndof
 
-    m = {f: np.asarray(jax.device_get(getattr(model, f)), np.float32)
-         for f in ("body_pos", "body_ipos", "body_mass", "body_inertia",
-                   "body_iquat", "armature", "jkp", "jkd", "torque_lim",
-                   "jnt_range", "contact_point", "contact_mask")}
+    # ---- per-env (shape-conditioned) models --------------------------------
+    # A batched `model` is a shape LIBRARY: leading (S,) dims on the leaves
+    # model_from_betas(_exact) varies per shape (smpl/robot.py:60-69,126).
+    # The lane layout absorbs per-env values for free: every per-body
+    # (nb, 1) column and per-dof (NP, 1) column the kernel broadcasts
+    # against (·, EL) lane tiles simply becomes a (·, EL) tile with one
+    # value per lane/env — the math is unchanged. Those tiles are gathered
+    # per env by sequence index at call time (the reference rebuilds the
+    # robot per episode, humanoid_im.py:154-180) and fed as extra operands;
+    # everything else (gains, armature, structure, contact scalars) must
+    # stay shared.
+    from uhc_tpu.physics.model import model_batch_axes, model_is_batched
+    PE_LEAVES = PE_MODEL_LEAVES
+    per_env = model_is_batched(model)
+    if per_env:
+        axes = model_batch_axes(model)
+        batched = [f.name for f in dataclasses.fields(Model)
+                   if getattr(axes, f.name) == 0]
+        unsupported = sorted(set(batched) - set(PE_LEAVES))
+        if unsupported:
+            raise ValueError(
+                f"lane kernel per-env models support {PE_LEAVES}; "
+                f"got batched leaves {unsupported}")
+        S_lib = int(np.asarray(jax.device_get(model.body_mass)).shape[0])
+
+        def _lib(f, base_nd):
+            v = np.asarray(jax.device_get(getattr(model, f)), np.float32)
+            if v.ndim == base_nd:          # shared leaf -> broadcast to S
+                v = np.broadcast_to(v, (S_lib,) + v.shape)
+            return np.ascontiguousarray(v)
+        rep = 0  # representative index for the static tables below
+        m = {}
+        for f, nd in (("body_pos", 2), ("body_ipos", 2), ("body_mass", 1),
+                      ("body_inertia", 2), ("body_iquat", 2),
+                      ("jnt_range", 2), ("contact_point", 3)):
+            m[f] = _lib(f, nd)[rep]
+        for f in ("armature", "jkp", "jkd", "torque_lim", "contact_mask"):
+            m[f] = np.asarray(jax.device_get(getattr(model, f)), np.float32)
+    else:
+        m = {f: np.asarray(jax.device_get(getattr(model, f)), np.float32)
+             for f in ("body_pos", "body_ipos", "body_mass", "body_inertia",
+                       "body_iquat", "armature", "jkp", "jkd", "torque_lim",
+                       "jnt_range", "contact_point", "contact_mask")}
     dt = float(np.asarray(jax.device_get(model.dt)))
     grav_z = float(np.asarray(jax.device_get(model.gravity))[2])
     c_stiff = float(np.asarray(jax.device_get(model.contact_stiffness)))
@@ -211,6 +259,10 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
     sc_pairs = self_collision_pairs(topo)
     scp = np.asarray(jax.device_get(model.sc_point), np.float32)
     scr = np.asarray(jax.device_get(model.sc_radius), np.float32)
+    if per_env:
+        scp_lib = _lib("sc_point", 3)
+        scr_lib = _lib("sc_radius", 1)
+        scp, scr = scp_lib[rep], scr_lib[rep]
     SCN = scp.shape[1]
     PN = len(sc_pairs)
     CN = max(PN * SCN * SCN, 1)
@@ -237,6 +289,41 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
     SC_K, SC_D = 3000.0, 50.0
     use_sc = bool(cfg.self_collision) and CN > 1
 
+    # ---- per-env library packs (gathered by seq_idx at call time) ---------
+    if per_env:
+        bp_l = _lib("body_pos", 2)            # (S, nb, 3)
+        ip_l = _lib("body_ipos", 2)
+        ms_l = _lib("body_mass", 1)           # (S, nb)
+        in_l = _lib("body_inertia", 2)
+        iq_l = _lib("body_iquat", 2)          # (S, nb, 4)
+        LIB_CBT = np.concatenate(
+            [np.transpose(bp_l, (0, 2, 1)), np.transpose(ip_l, (0, 2, 1)),
+             ms_l[:, None, :], np.transpose(in_l, (0, 2, 1)),
+             np.transpose(iq_l, (0, 2, 1))], axis=1)        # (S, 14, nb)
+        jr_l = _lib("jnt_range", 2)           # (S, ndof, 2)
+        LIB_JR = np.zeros((S_lib, 2, NP), np.float32)
+        LIB_JR[:, 0, :] = -1e9
+        LIB_JR[:, 1, :] = 1e9
+        LIB_JR[:, 0, 6:6 + ndof] = jr_l[:, :, 0]
+        LIB_JR[:, 1, 6:6 + ndof] = jr_l[:, :, 1]
+        cp_l = _lib("contact_point", 3)       # (S, nb, K, 3)
+        LIB_CP = np.concatenate(
+            [cp_l[:, :, :, 0], cp_l[:, :, :, 1], cp_l[:, :, :, 2]],
+            axis=1)                                          # (S, 3nb, K)
+        LIB_SCP = np.zeros((S_lib, nb, 3 * SCN), np.float32)
+        for s in range(SCN):
+            for c in range(3):
+                LIB_SCP[:, :, s * 3 + c] = scp_lib[:, :, s, c]
+        LIB_RS = np.zeros((S_lib, CN), np.float32)
+        for p, (a, b) in enumerate(sc_pairs):
+            for si in range(SCN):
+                for sj in range(SCN):
+                    c = (p * SCN + si) * SCN + sj
+                    LIB_RS[:, c] = scr_lib[:, a] + scr_lib[:, b]
+        LIB_MASSR = np.ascontiguousarray(ms_l)               # (S, nb)
+        libs = tuple(jnp.asarray(x) for x in
+                     (LIB_CBT, LIB_JR, LIB_CP, LIB_SCP, LIB_RS, LIB_MASSR))
+
     IEL = np.eye(EL, dtype=np.float32)
 
     # coordW slots: cx,cy,cz (3) + W scalars (15) + Iw entries (6)
@@ -245,14 +332,20 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
     #             qveld
 
     # -----------------------------------------------------------------------
-    def kernel(root_ref, jz_ref, jy_ref, jx_ref, vz_ref, vy_ref, vx_ref,
-               ctrl_ref, tb_ref, kps_ref, kds_ref, vf_ref,
-               cbt_ref, clt_ref, clr_ref, cs_ref, cpar_ref, ce_ref,
-               cbr_ref, cc3_ref, gab_ref, pab_ref, rs_ref, scpk_ref,
-               iel_ref,
-               root_o, jz_o, jy_o, jx_o, vz_o, vy_o, vx_o,
-               coordw_ref, vecs_ref, qvnew_ref, xp_ref, xf_ref,
-               apd_ref, afd_ref):
+    def kernel(*refs):
+        (root_ref, jz_ref, jy_ref, jx_ref, vz_ref, vy_ref, vx_ref,
+         ctrl_ref, tb_ref, kps_ref, kds_ref, vf_ref) = refs[0:12]
+        i0 = 12
+        if per_env:
+            (pe_cbt_ref, pe_jr_ref, pe_cp_ref, pe_scp_ref, pe_rs_ref,
+             pe_massr_ref) = refs[12:18]
+            i0 = 18
+        (cbt_ref, clt_ref, clr_ref, cs_ref, cpar_ref, ce_ref,
+         cbr_ref, cc3_ref, gab_ref, pab_ref, rs_ref, scpk_ref,
+         iel_ref) = refs[i0:i0 + 13]
+        (root_o, jz_o, jy_o, jx_o, vz_o, vy_o, vx_o) = refs[i0 + 13:i0 + 20]
+        (coordw_ref, vecs_ref, qvnew_ref, xp_ref, xf_ref,
+         apd_ref, afd_ref) = refs[i0 + 20:i0 + 27]
         cbt = cbt_ref[:]
         clt = clt_ref[:]
         clr = clr_ref[:]
@@ -264,14 +357,27 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
         iel = iel_ref[:]
 
         C_M0 = cbt[:, 0:1]
-        C_BP = (cbt[:, 1:2], cbt[:, 2:3], cbt[:, 3:4])
-        C_IP = (cbt[:, 4:5], cbt[:, 5:6], cbt[:, 6:7])
-        C_MASS = cbt[:, 7:8]
-        C_I = (cbt[:, 8:9], cbt[:, 9:10], cbt[:, 10:11])
-        C_IQ = (cbt[:, 11:12], cbt[:, 12:13], cbt[:, 13:14], cbt[:, 14:15])
         C_LEV = [cbt[:, NLEV0 + li:NLEV0 + 1 + li] for li in range(nlev)]
+        if per_env:
+            # per-env per-body columns: same broadcast shapes as the
+            # static (nb, 1) slices, but one value per lane/env
+            pe = pe_cbt_ref[:]                       # (14, nb, EL)
+            C_BP = (pe[0], pe[1], pe[2])
+            C_IP = (pe[3], pe[4], pe[5])
+            C_MASS = pe[6]
+            C_I = (pe[7], pe[8], pe[9])
+            C_IQ = (pe[10], pe[11], pe[12], pe[13])
+            jr_pe = pe_jr_ref[:]                     # (2, NP, EL)
+            T_LO, T_HI = jr_pe[0], jr_pe[1]
+        else:
+            C_BP = (cbt[:, 1:2], cbt[:, 2:3], cbt[:, 3:4])
+            C_IP = (cbt[:, 4:5], cbt[:, 5:6], cbt[:, 6:7])
+            C_MASS = cbt[:, 7:8]
+            C_I = (cbt[:, 8:9], cbt[:, 9:10], cbt[:, 10:11])
+            C_IQ = (cbt[:, 11:12], cbt[:, 12:13], cbt[:, 13:14],
+                    cbt[:, 14:15])
+            T_LO, T_HI = clt[:, 3:4], clt[:, 4:5]
         T_JKP, T_JKD = clt[:, 0:1], clt[:, 1:2]
-        T_LO, T_HI = clt[:, 3:4], clt[:, 4:5]
         T_LIN, T_JNT = clt[:, 5:6], clt[:, 6:7]
         T_R6 = clt[:, 8:9]
         T_RR = [clt[:, 9 + k:10 + k] for k in range(3)]
@@ -280,9 +386,15 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
         R_LIN = clr[5:6]
         K_SALL, K_AM = cs[3 * nb:4 * nb], cs[4 * nb:5 * nb]
         K_ARMEYE, K_EYE = ce[0:NP], ce[NP:2 * NP]
-        C_CPX = cc3[:, :, 0:1]
-        C_CPY = cc3[:, :, 1:2]
-        C_CPZ = cc3[:, :, 2:3]
+        if per_env:
+            cp_pe = pe_cp_ref[:]                     # (3nb, K, EL)
+            C_CPX = cp_pe[0:nb]
+            C_CPY = cp_pe[nb:2 * nb]
+            C_CPZ = cp_pe[2 * nb:3 * nb]
+        else:
+            C_CPX = cc3[:, :, 0:1]
+            C_CPY = cc3[:, :, 1:2]
+            C_CPZ = cc3[:, :, 2:3]
         C_CM = cc3[:, :, 3:4]
 
         def T_env(x):
@@ -563,13 +675,21 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             if use_sc:
                 gab = gab_ref[:]
                 pab = pab_ref[:]
-                rs = rs_ref[:]
-                scpk = scpk_ref[:]
+                if per_env:
+                    rs = pe_rs_ref[:]                # (CN, EL)
+                    scpk_pe = pe_scp_ref[:]          # (nb, 3SCN, EL)
+                    sc_sl = [(scpk_pe[:, 3 * s], scpk_pe[:, 3 * s + 1],
+                              scpk_pe[:, 3 * s + 2]) for s in range(SCN)]
+                else:
+                    rs = rs_ref[:]
+                    scpk = scpk_ref[:]
+                    sc_sl = [(scpk[:, 3 * s:3 * s + 1],
+                              scpk[:, 3 * s + 1:3 * s + 2],
+                              scpk[:, 3 * s + 2:3 * s + 3])
+                             for s in range(SCN)]
                 ws_rows, vs_rows = [], []
                 for s in range(SCN):
-                    off = _qrot(q, (scpk[:, 3 * s:3 * s + 1],
-                                    scpk[:, 3 * s + 1:3 * s + 2],
-                                    scpk[:, 3 * s + 2:3 * s + 3]))
+                    off = _qrot(q, sc_sl[s])
                     ws_rows.append((px + off[0], py + off[1], pz + off[2]))
                     vs_rows.append((vl[0] + om[1] * off[2] - om[2] * off[1],
                                     vl[1] + om[2] * off[0] - om[0] * off[2],
@@ -717,7 +837,11 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                 # M rows: [mass·Jl_k ; Σ_cj Iw[k][cj]·Ja_cj] — M = J6ᵀ·Mcat
                 Iw_s = [[iw00, iw01, iw02], [iw01, iw11, iw12],
                         [iw02, iw12, iw22]]
-                massr = cbr[0:1, :, None]            # (1, nb, 1)
+                if per_env:
+                    # per-env masses, env-major: (ET, nb, 1) sub-tile slice
+                    massr = pe_massr_ref[pl.ds(off, ET), :][:, :, None]
+                else:
+                    massr = cbr[0:1, :, None]        # (1, nb, 1)
                 Ml = [massr * Jl[k] for k in range(3)]
                 Ma = [sum(Iw_s[k][cj][:, :, None] * Ja[cj]
                           for cj in range(3)) for k in range(3)]
@@ -878,7 +1002,10 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
     pack_shapes = [tuple(p.shape) for p in packs]
 
     @jax.jit
-    def do_simulation(qpos, qvel, actions, target_base, rfc_rate):
+    def do_simulation(qpos, qvel, actions, target_base, rfc_rate,
+                      seq_idx=None):
+        if per_env and seq_idx is None:
+            raise ValueError("per-env lane kernel needs seq_idx (B,)")
         B = qpos.shape[0]
         Bp = -(-B // EL) * EL
         dtype = F32
@@ -930,6 +1057,27 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
 
         in_specs = [pl.BlockSpec((w, EL), lambda g: (0, g),
                                  memory_space=pltpu.VMEM) for w in widths]
+        if per_env:
+            # gather each env's shape tables by sequence index and rotate
+            # them lane-major ((..., Bp): envs in lanes, like every other
+            # dynamic operand); MASSR stays env-major for the sub-tile loop
+            idx = jnp.asarray(seq_idx, jnp.int32)
+            gath = [lib[idx] for lib in libs]    # leading (B, ...) each
+            if Bp != B:
+                gath = [jnp.concatenate(
+                    [g, jnp.broadcast_to(g[:1], (Bp - B,) + g.shape[1:])],
+                    0) for g in gath]
+            pe_args = [jnp.moveaxis(g, 0, -1).astype(dtype)
+                       for g in gath[:5]] + [gath[5].astype(dtype)]
+            args += pe_args
+            pe_shapes = [(14, nb), (2, NP), (3 * nb, K), (nb, 3 * SCN),
+                         (CN,)]
+            in_specs += [pl.BlockSpec(s + (EL,),
+                                      lambda g, n=len(s): (0,) * n + (g,),
+                                      memory_space=pltpu.VMEM)
+                         for s in pe_shapes]
+            in_specs += [pl.BlockSpec((EL, nb), lambda g: (g, 0),
+                                      memory_space=pltpu.VMEM)]
         in_specs += [pl.BlockSpec(s, lambda g, n=len(s): (0,) * n,
                                   memory_space=pltpu.VMEM)
                      for s in pack_shapes]

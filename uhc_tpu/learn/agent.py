@@ -208,11 +208,13 @@ class CopycatAgent:
             len(self.seq_keys), cfg.sampling_temp, cfg.sampling_freq)
 
         # Route physics through the fused Pallas control-step kernel when
-        # the config allows it (fused_compatible) and the model is static;
-        # make_env_step_batched falls back to the XLA solver otherwise.
+        # the config allows it (fused_compatible); make_env_step_batched
+        # falls back to the XLA solver otherwise.
         # UHC_TPU_FUSED=0 forces the XLA path (e.g. CPU test runs).
         # Covers every tree the kernel traces for (24-body SMPL, 48-body
-        # masterfoot, 52-body SMPL-H); first Mosaic compile of a new tree
+        # masterfoot, 52-body SMPL-H) AND shape-library (batched) models —
+        # the lane kernel gathers per-env shape tables by seq_idx
+        # (pallas_lane per_env path); first Mosaic compile of a new tree
         # is expensive (~35 min for masterfoot) but lands in the
         # persistent cache.
         self._fused_model = (

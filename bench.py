@@ -85,11 +85,15 @@ def main():
                 from uhc_tpu.physics.pallas_lane import \
                     make_fused_do_simulation_lane
 
+                pcg = int(os.environ.get("BENCH_PCG", 2))
+                pcg_pd = int(os.environ.get("BENCH_PCGPD", 1))
+                refresh = int(os.environ.get("BENCH_REFRESH", 0))
                 fused = make_fused_do_simulation_lane(
                     topo, cfg, model,
                     env_tile=int(os.environ.get("BENCH_E", 128)),
                     sub_tile=int(os.environ.get("BENCH_SUB", 32)),
-                    pcg_iters=int(os.environ.get("BENCH_PCG", 2)),
+                    pcg_iters=(pcg_pd, pcg) if pcg_pd else pcg,
+                    refresh_at=refresh or None,
                     pcg_vpu=os.environ.get("BENCH_PCGV", "1") == "1")
             else:
                 from uhc_tpu.physics.pallas_substep import \

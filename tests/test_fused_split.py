@@ -283,3 +283,27 @@ def test_lane_kernel_per_env_model_interpret():
     assert float(jnp.max(jnp.abs(v1 - v_ref))) < 1e-3
     # the two shapes must actually integrate differently
     assert float(jnp.max(jnp.abs(q1[0] - q1[1]))) > 1e-6
+
+
+def test_production_routing_uses_asymmetric_pcg(monkeypatch):
+    """make_env_step_batched's small-tree lane branch must request the
+    asymmetric PD/FD PCG schedule (pd=1, fd=fused_pcg_iters) — the
+    measured-best production config (482.3k vs 446.8k substeps/s,
+    results/train_queue_r4e.log); big trees keep the symmetric count."""
+    from uhc_tpu.physics import pallas_lane
+
+    captured = {}
+
+    def fake_factory(topo, cfg, model, **kw):
+        captured.update(kw)
+        return lambda *a, **k: (_ for _ in ()).throw(AssertionError)
+
+    monkeypatch.setattr(pallas_lane, "make_fused_do_simulation_lane",
+                        fake_factory)
+    monkeypatch.setenv("UHC_TPU_LANE", "1")
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    cfg = EnvConfig(self_collision=True)
+    H.make_env_step_batched(topo, cfg, fused_model=model, fused_pcg_iters=2)
+    assert captured["pcg_iters"] == (1, 2)
+    assert captured["pcg_vpu"] is True

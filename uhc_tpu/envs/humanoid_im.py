@@ -924,10 +924,20 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
                 make_fused_do_simulation_lane
 
             big = topo.nbody > 32
+            # small trees run the asymmetric PD/FD PCG schedule: the PD
+            # solve's error reaches the dynamics scaled by kd·dt (~0.11)
+            # and clipped, so PCG-1 suffices there (accuracy:
+            # test_lane_kernel_schedule_variants_interpret vs a PCG-8
+            # reference; speed: 482.3k vs 446.8k substeps/s symmetric,
+            # train_queue_r4e.log). Big trees keep the symmetric count —
+            # their measured rows used it.
+            iters = ((1, fused_pcg_iters)
+                     if not big and isinstance(fused_pcg_iters, int)
+                     else fused_pcg_iters)
             fast_sim = make_fused_do_simulation_lane(
                 topo, cfg, fused_model, env_tile=128,
                 sub_tile=8 if big else 32,
-                pcg_iters=fused_pcg_iters, pcg_vpu=not big,
+                pcg_iters=iters, pcg_vpu=not big,
                 # big trees: the deferred full-EL VPU-PCG's (EL,NP,NP)
                 # staging buffers exceed VMEM at NP=160, but the VPU
                 # matvec formulation still applies per sub-tile on the

@@ -85,14 +85,19 @@ else
 fi
 
 # --- D: schedule levers, 90-min budget each ----------------------------------
-echo "--- lever PCGPD $(date) ---" >> $LOG
-timeout 5400 python tools/kernel_bench.py \
-  "LANE=1,E=128,SUB=32,PCG=2,PCGPD=1,PCGV=1,SC=1" >> $LOG 2>&1
-echo "--- lever PCGPD rc=$? $(date) ---" >> $LOG
+# (PCGPD measured in r4e: 482,287 substeps/s — now the production schedule.)
 echo "--- lever REFRESH $(date) ---" >> $LOG
 timeout 5400 python tools/kernel_bench.py \
   "LANE=1,E=128,SUB=32,PCG=1,PCGPD=1,REFRESH=8,PCGV=1,SC=1" >> $LOG 2>&1
 echo "--- lever REFRESH rc=$? $(date) ---" >> $LOG
+echo "--- lever BF16 retry $(date) ---" >> $LOG
+timeout 3600 python tools/kernel_bench.py \
+  "LANE=1,E=128,SUB=32,PCG=2,PCGPD=1,PCGV=1,SC=1,BF16=1" >> $LOG 2>&1
+echo "--- lever BF16 rc=$? $(date) ---" >> $LOG
+echo "--- lever E=256 retry $(date) ---" >> $LOG
+timeout 3600 python tools/kernel_bench.py \
+  "LANE=1,E=256,SUB=32,PCG=2,PCGPD=1,PCGV=1,SC=1" >> $LOG 2>&1
+echo "--- lever E=256 rc=$? $(date) ---" >> $LOG
 
 # --- E: SMPL-H lane vs v2 rows -----------------------------------------------
 echo "--- kernel_bench smplh rows $(date) ---" >> $LOG

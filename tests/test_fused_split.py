@@ -307,3 +307,47 @@ def test_production_routing_uses_asymmetric_pcg(monkeypatch):
     H.make_env_step_batched(topo, cfg, fused_model=model, fused_pcg_iters=2)
     assert captured["pcg_iters"] == (1, 2)
     assert captured["pcg_vpu"] is True
+
+
+@pytest.mark.slow
+def test_lane_kernel_cond_inv_interpret():
+    """cond_inv=True (the pl.when-guarded exact-inverse pair — one compiled
+    Cholesky regardless of refresh substeps, the fix for the REFRESH
+    variant's remote-compile stall, PERF.md round-4e) must match the static
+    schedule bit-for-bit without refresh, and track the XLA reference with
+    refresh enabled."""
+    from uhc_tpu.physics.pallas_lane import make_fused_do_simulation_lane
+
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    seqs = load_motion_file(NEUTRAL)
+    lib, _ = build_expert_library(topo, model, seqs, max_len=8)
+    B = 16
+    rng = jax.random.PRNGKey(0)
+    qp = jnp.tile(lib["qpos"][0, 0][None], (B, 1))
+    qv = 0.05 * jax.random.normal(rng, (B, topo.nv))
+    tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
+
+    cfg = EnvConfig(self_collision=True)
+    nd, vf, meta = H.action_dims(topo, cfg)
+    act = 0.02 * jax.random.normal(rng, (B, nd + vf + meta))
+
+    # same schedule, static vs cond_inv: identical math -> tight bound
+    mk = lambda **kw: make_fused_do_simulation_lane(
+        topo, cfg, model, env_tile=16, sub_tile=8, pcg_iters=(1, 2),
+        interpret=True, pcg_vpu=True, **kw)
+    q_s, v_s = mk(cond_inv=False)(qp, qv, act, tb, 1.0)
+    q_c, v_c = mk(cond_inv=True)(qp, qv, act, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q_c - q_s))) < 1e-6
+    assert float(jnp.max(jnp.abs(v_c - v_s))) < 1e-4
+
+    # cond_inv + refresh vs the exact XLA reference
+    sim = S.make_do_simulation(topo, cfg, pcg_iters=8)
+    q_ref, v_ref = sim(model, qp, qv, act, tb, 1.0)
+    lane_r = make_fused_do_simulation_lane(topo, cfg, model, env_tile=16,
+                                           sub_tile=8, pcg_iters=(1, 1),
+                                           interpret=True, pcg_vpu=True,
+                                           refresh_at=8, cond_inv=True)
+    q_r, v_r = lane_r(qp, qv, act, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q_r - q_ref))) < 2e-3
+    assert float(jnp.max(jnp.abs(v_r - v_ref))) < 2e-1

@@ -77,7 +77,8 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                                   vmem_limit_mb: int = 100,
                                   pcg_vpu: bool = False,
                                   refresh_at: int | None = None,
-                                  pcg_vpu_sub: bool = False):
+                                  pcg_vpu_sub: bool = False,
+                                  cond_inv: bool = False):
     """Build the lane-major fused control step.
 
     Returns fn(qpos (B,nq), qvel (B,nv), actions (B,act), target_base
@@ -96,6 +97,13 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
     (Newton–Schulz inverse tracking was also measured: NaN — contact
     touchdown changes A_fd discontinuously and the iteration diverges,
     confirming the solver.py design note.)
+
+    `cond_inv=True` compiles the exact-inverse block ONCE: instead of
+    statically inlining `one_substep(compute_inv=True)` for substep 0 (and
+    again for `refresh_at`), all FS substeps run one `fori_loop` whose
+    body guards the inverse pair with `pl.when(it == 0 [or refresh_at])`.
+    Same math, ~half the scheduler-hostile program text — the fix for the
+    refresh variant's remote-compile stall (PERF.md round-4e).
     """
     if cfg.residual_force and cfg.residual_force_mode != "implicit":
         raise ValueError("fused path supports implicit RFC only")
@@ -450,7 +458,7 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             n = len(arrs)
             return [G[:, i * EL:(i + 1) * EL] for i in range(n)]
 
-        def one_substep(state, kscale, dscale, compute_inv):
+        def one_substep(state, kscale, dscale, compute_inv, inv_pred=None):
             (jz, jy, jx, vz, vy, vx, rp, rq, rv, rw) = state
             # ---------- FK (v2 kernel lines 544-592, transposed) -----------
             nrm = jax.lax.rsqrt(rq[0]**2 + rq[1]**2 + rq[2]**2
@@ -880,7 +888,19 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                 A_pd = M + dt * K_EYE[None] * kd_i_s[:, None, :]
                 A_fd = M + dt * (CD + K_EYE[None] * lim_d_s[:, None, :])
 
-                if compute_inv:
+                if inv_pred is not None:
+                    # cond_inv: the inverse pair is guarded by a traced
+                    # predicate so the Cholesky code exists once in the
+                    # program no matter how many substeps refresh it
+                    @pl.when(inv_pred)
+                    def _refresh_inverses():
+                        xp_ref[pl.ds(off, ET), :, :] = _chol_inverse(A_pd,
+                                                                     NP)
+                        xf_ref[pl.ds(off, ET), :, :] = _chol_inverse(A_fd,
+                                                                     NP)
+                    Xp = xp_ref[pl.ds(off, ET), :, :]
+                    Xf = xf_ref[pl.ds(off, ET), :, :]
+                elif compute_inv:
                     Xp = _chol_inverse(A_pd, NP)
                     Xf = _chol_inverse(A_fd, NP)
                     xp_ref[pl.ds(off, ET), :, :] = Xp
@@ -962,26 +982,44 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                     rv_n, rw_n)
 
         state = (jz0, jy0, jx0, vz0, vy0, vx0, rp0, rq0, rv0, rw0)
-        state = one_substep(state, kps[0:1], kds[0:1], True)
 
-        def loop_body(it, st):
-            row_fs = jax.lax.broadcasted_iota(jnp.int32, (FSP, 1), 0)
-            ks = jnp.sum(jnp.where(row_fs == it, kps, 0.0), axis=0,
-                         keepdims=True)
-            ds = jnp.sum(jnp.where(row_fs == it, kds, 0.0), axis=0,
-                         keepdims=True)
-            return one_substep(st, ks, ds, False)
+        if cond_inv:
+            # one loop over ALL substeps; the inverse pair runs under
+            # pl.when(it == 0 [or refresh_at]) so its code is compiled once
+            def loop_body_c(it, st):
+                row_fs = jax.lax.broadcasted_iota(jnp.int32, (FSP, 1), 0)
+                ks = jnp.sum(jnp.where(row_fs == it, kps, 0.0), axis=0,
+                             keepdims=True)
+                ds = jnp.sum(jnp.where(row_fs == it, kds, 0.0), axis=0,
+                             keepdims=True)
+                pred = it == 0
+                if refresh_at is not None:
+                    pred = jnp.logical_or(pred, it == refresh_at)
+                return one_substep(st, ks, ds, False, inv_pred=pred)
 
-        if refresh_at is None:
-            state = jax.lax.fori_loop(1, FS, loop_body, state)
+            state = jax.lax.fori_loop(0, FS, loop_body_c, state)
         else:
-            # mid-window preconditioner refresh: one extra exact-inverse
-            # substep at `refresh_at` halves the staleness the PCG must
-            # correct (enables the PCG-(1,1) schedule; see docstring)
-            state = jax.lax.fori_loop(1, refresh_at, loop_body, state)
-            state = one_substep(state, kps[refresh_at:refresh_at + 1],
-                                kds[refresh_at:refresh_at + 1], True)
-            state = jax.lax.fori_loop(refresh_at + 1, FS, loop_body, state)
+            state = one_substep(state, kps[0:1], kds[0:1], True)
+
+            def loop_body(it, st):
+                row_fs = jax.lax.broadcasted_iota(jnp.int32, (FSP, 1), 0)
+                ks = jnp.sum(jnp.where(row_fs == it, kps, 0.0), axis=0,
+                             keepdims=True)
+                ds = jnp.sum(jnp.where(row_fs == it, kds, 0.0), axis=0,
+                             keepdims=True)
+                return one_substep(st, ks, ds, False)
+
+            if refresh_at is None:
+                state = jax.lax.fori_loop(1, FS, loop_body, state)
+            else:
+                # mid-window preconditioner refresh: one extra exact-inverse
+                # substep at `refresh_at` halves the staleness the PCG must
+                # correct (enables the PCG-(1,1) schedule; see docstring)
+                state = jax.lax.fori_loop(1, refresh_at, loop_body, state)
+                state = one_substep(state, kps[refresh_at:refresh_at + 1],
+                                    kds[refresh_at:refresh_at + 1], True)
+                state = jax.lax.fori_loop(refresh_at + 1, FS, loop_body,
+                                          state)
         (jz, jy, jx, vz, vy, vx, rp, rq, rv, rw) = state
 
         root_o[:] = jnp.concatenate(

@@ -351,3 +351,52 @@ def test_lane_kernel_cond_inv_interpret():
     q_r, v_r = lane_r(qp, qv, act, tb, 1.0)
     assert float(jnp.max(jnp.abs(q_r - q_ref))) < 2e-3
     assert float(jnp.max(jnp.abs(v_r - v_ref))) < 2e-1
+
+
+@pytest.mark.slow
+def test_lane_kernel_meta_pd_joint_interpret():
+    """meta_pd_joint (per-joint gain scaling, humanoid_im.py:1053-1064
+    joint variant) through the lane kernel vs the XLA solver — the per-dof
+    scales ride the kps/kds operand slots as (NP, EL) tiles."""
+    from uhc_tpu.physics.pallas_lane import make_fused_do_simulation_lane
+
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    seqs = load_motion_file(NEUTRAL)
+    lib, _ = build_expert_library(topo, model, seqs, max_len=8)
+    B = 16
+    rng = jax.random.PRNGKey(0)
+    qp = jnp.tile(lib["qpos"][0, 0][None], (B, 1))
+    qv = 0.05 * jax.random.normal(rng, (B, topo.nv))
+    tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
+
+    cfg = EnvConfig(self_collision=True, meta_pd=False, meta_pd_joint=True)
+    nd, vf, meta = H.action_dims(topo, cfg)
+    assert meta == 2 * nd
+    act = 0.02 * jax.random.normal(rng, (B, nd + vf + meta))
+    # non-trivial per-joint scales so the path is actually exercised
+    act = act.at[:, nd + vf:].add(
+        0.5 * jax.random.normal(jax.random.PRNGKey(7), (B, meta)))
+
+    sim = S.make_do_simulation(topo, cfg, pcg_iters=8)
+    q_ref, v_ref = sim(model, qp, qv, act, tb, 1.0)
+
+    lane = make_fused_do_simulation_lane(topo, cfg, model, env_tile=16,
+                                         sub_tile=8, pcg_iters=3,
+                                         interpret=True, pcg_vpu=True)
+    q1, v1 = lane(qp, qv, act, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q1 - q_ref))) < 2e-3
+    assert float(jnp.max(jnp.abs(v1 - v_ref))) < 2e-1
+
+    # the scales must matter: zeroed meta dims -> different trajectory
+    act0 = act.at[:, nd + vf:].set(0.0)
+    q2, _ = lane(qp, qv, act0, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q2 - q1))) > 1e-5
+
+
+def test_meta_pd_joint_routing():
+    """meta_pd_joint is fused-compatible on the lane kernel only."""
+    cfg = EnvConfig(meta_pd=False, meta_pd_joint=True)
+    assert not H.fused_compatible(cfg)
+    assert not H.fused_compatible(cfg, lane=False)
+    assert H.fused_compatible(cfg, lane=True)

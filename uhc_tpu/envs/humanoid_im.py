@@ -856,13 +856,16 @@ def env_step(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
                          jpos_diffw, body_diffw, train)
 
 
-def fused_compatible(cfg: EnvConfig) -> bool:
-    """Whether the fused Pallas control-step kernel covers this config
-    (physics.pallas_substep; implicit/no RFC, no per-joint meta-PD;
-    self-collision is supported in-kernel)."""
+def fused_compatible(cfg: EnvConfig, lane: bool = False) -> bool:
+    """Whether a fused Pallas control-step kernel covers this config
+    (implicit/no RFC, no torque control; self-collision is supported
+    in-kernel). Per-joint meta-PD (`meta_pd_joint`) is lane-kernel-only:
+    the per-dof gain scales ride the same (·, EL) operand slots the
+    per-substep scales use (pallas_lane), but the v2 kernel has no slot
+    for them."""
     return ((not cfg.residual_force
              or cfg.residual_force_mode == "implicit")
-            and not cfg.meta_pd_joint
+            and (not cfg.meta_pd_joint or lane)
             and cfg.action_type != "torque")
 
 
@@ -879,10 +882,15 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
     the substep chain through the fused Pallas control-step kernel
     (physics.pallas_substep) when the config allows it — the kernel bakes
     the model, so it must equal the model passed at step time."""
+    use_lane = (os.environ.get("UHC_TPU_LANE", "1") == "1"
+                and (topo.nbody <= 32
+                     or (topo.nbody <= 52
+                         and os.environ.get("UHC_TPU_LANE_BIG",
+                                            "1") == "1")))
     fused_per_env = False
     if fused_model is not None:
         from uhc_tpu.physics.model import model_batch_axes, model_is_batched
-        if not fused_compatible(cfg):
+        if not fused_compatible(cfg, lane=use_lane):
             fused_model = None        # incompatible config -> XLA fallback
         elif model_is_batched(fused_model):
             # shape-conditioned model LIBRARY: the lane kernel gathers the
@@ -910,11 +918,6 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
     # buffers don't fit the v5e VMEM budget at NP=160 — and solve
     # env-major per ET=8 sub-tile instead. UHC_TPU_LANE=0 forces v2
     # everywhere; UHC_TPU_LANE_BIG=0 forces v2 for >32-body trees only.
-    use_lane = (os.environ.get("UHC_TPU_LANE", "1") == "1"
-                and (topo.nbody <= 32
-                     or (topo.nbody <= 52
-                         and os.environ.get("UHC_TPU_LANE_BIG",
-                                            "1") == "1")))
     if fused_per_env and not use_lane:
         fused_model = None            # per-env models are lane-only
         fused_per_env = False

@@ -107,8 +107,10 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
     """
     if cfg.residual_force and cfg.residual_force_mode != "implicit":
         raise ValueError("fused path supports implicit RFC only")
-    if cfg.meta_pd_joint:
-        raise ValueError("fused path does not support meta_pd_joint")
+    # meta_pd_joint (humanoid_im.py:1053-1064 per-joint variant): the
+    # per-dof gain scales ride the kps/kds operand slots as (NP, EL)
+    # lane tiles, constant across substeps
+    MPJ = bool(cfg.meta_pd_joint)
 
     from uhc_tpu.envs import humanoid_im as H
 
@@ -443,7 +445,7 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
         vz0, vy0, vx0 = vz_ref[:], vy_ref[:], vx_ref[:]
         ctrl = ctrl_ref[:]          # (NP, EL)
         tb = tb_ref[:]
-        kps, kds = kps_ref[:], kds_ref[:]   # (FSP, EL)
+        kps, kds = kps_ref[:], kds_ref[:]   # (FSP, EL); MPJ: (NP, EL)
         vf = vf_ref[:]              # (8, EL)
 
         rp0 = (root[0:1], root[1:2], root[2:3])
@@ -987,11 +989,14 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             # one loop over ALL substeps; the inverse pair runs under
             # pl.when(it == 0 [or refresh_at]) so its code is compiled once
             def loop_body_c(it, st):
-                row_fs = jax.lax.broadcasted_iota(jnp.int32, (FSP, 1), 0)
-                ks = jnp.sum(jnp.where(row_fs == it, kps, 0.0), axis=0,
-                             keepdims=True)
-                ds = jnp.sum(jnp.where(row_fs == it, kds, 0.0), axis=0,
-                             keepdims=True)
+                if MPJ:
+                    ks, ds = kps, kds      # per-dof, constant over substeps
+                else:
+                    row_fs = jax.lax.broadcasted_iota(jnp.int32, (FSP, 1), 0)
+                    ks = jnp.sum(jnp.where(row_fs == it, kps, 0.0), axis=0,
+                                 keepdims=True)
+                    ds = jnp.sum(jnp.where(row_fs == it, kds, 0.0), axis=0,
+                                 keepdims=True)
                 pred = it == 0
                 if refresh_at is not None:
                     pred = jnp.logical_or(pred, it == refresh_at)
@@ -999,14 +1004,18 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
 
             state = jax.lax.fori_loop(0, FS, loop_body_c, state)
         else:
-            state = one_substep(state, kps[0:1], kds[0:1], True)
+            state = one_substep(state, kps if MPJ else kps[0:1],
+                                kds if MPJ else kds[0:1], True)
 
             def loop_body(it, st):
-                row_fs = jax.lax.broadcasted_iota(jnp.int32, (FSP, 1), 0)
-                ks = jnp.sum(jnp.where(row_fs == it, kps, 0.0), axis=0,
-                             keepdims=True)
-                ds = jnp.sum(jnp.where(row_fs == it, kds, 0.0), axis=0,
-                             keepdims=True)
+                if MPJ:
+                    ks, ds = kps, kds
+                else:
+                    row_fs = jax.lax.broadcasted_iota(jnp.int32, (FSP, 1), 0)
+                    ks = jnp.sum(jnp.where(row_fs == it, kps, 0.0), axis=0,
+                                 keepdims=True)
+                    ds = jnp.sum(jnp.where(row_fs == it, kds, 0.0), axis=0,
+                                 keepdims=True)
                 return one_substep(st, ks, ds, False)
 
             if refresh_at is None:
@@ -1016,8 +1025,9 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                 # substep at `refresh_at` halves the staleness the PCG must
                 # correct (enables the PCG-(1,1) schedule; see docstring)
                 state = jax.lax.fori_loop(1, refresh_at, loop_body, state)
-                state = one_substep(state, kps[refresh_at:refresh_at + 1],
-                                    kds[refresh_at:refresh_at + 1], True)
+                state = one_substep(
+                    state, kps if MPJ else kps[refresh_at:refresh_at + 1],
+                    kds if MPJ else kds[refresh_at:refresh_at + 1], True)
                 state = jax.lax.fori_loop(refresh_at + 1, FS, loop_body,
                                           state)
         (jz, jy, jx, vz, vy, vx, rp, rq, rv, rw) = state
@@ -1052,11 +1062,19 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             meta = actions[:, ndof + vf_dim: ndof + vf_dim + meta_dim]
             kps = jnp.clip(meta[:, :FS] + 1.0, 0.0, 10.0)
             kds = jnp.clip(meta[:, FS:] + 1.0, 0.0, 10.0)
+            kps = jnp.pad(kps, ((0, 0), (0, FSP - FS)))
+            kds = jnp.pad(kds, ((0, 0), (0, FSP - FS)))
+        elif MPJ:
+            # per-dof scales in qvel-space layout (root dofs at 0..5 are
+            # unscaled — T_JKP is zero there anyway)
+            meta = actions[:, ndof + vf_dim: ndof + vf_dim + meta_dim]
+            kps = jnp.ones((B, NP), dtype).at[:, 6:6 + ndof].set(
+                jnp.clip(meta[:, :ndof] + 1.0, 0.0, 10.0))
+            kds = jnp.ones((B, NP), dtype).at[:, 6:6 + ndof].set(
+                jnp.clip(meta[:, ndof:] + 1.0, 0.0, 10.0))
         else:
-            kps = jnp.ones((B, FS), dtype)
-            kds = jnp.ones((B, FS), dtype)
-        kps = jnp.pad(kps, ((0, 0), (0, FSP - FS)))
-        kds = jnp.pad(kds, ((0, 0), (0, FSP - FS)))
+            kps = jnp.ones((B, FSP), dtype)
+            kds = jnp.ones((B, FSP), dtype)
 
         if cfg.residual_force and vf_dim:
             vf = actions[:, ndof:ndof + vf_dim] * (
@@ -1088,7 +1106,8 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
         # rotate to lane-major: rows = feature, lanes = envs
         args = [a.astype(dtype).T for a in args]
 
-        widths = [16, nb, nb, nb, nb, nb, nb, NP, NP, FSP, FSP, 8]
+        KW = NP if MPJ else FSP
+        widths = [16, nb, nb, nb, nb, nb, nb, NP, NP, KW, KW, 8]
         state_w = [16, nb, nb, nb, nb, nb, nb]
         cparams = pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)

@@ -400,3 +400,56 @@ def test_meta_pd_joint_routing():
     assert not H.fused_compatible(cfg)
     assert not H.fused_compatible(cfg, lane=False)
     assert H.fused_compatible(cfg, lane=True)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("gate", [None, "height", "ground"])
+def test_lane_kernel_explicit_rfc_interpret(gate):
+    """Explicit per-body RFC (engine.assemble:594-605, reference
+    humanoid_im.py:1080-1132) through the lane kernel vs the XLA solver:
+    the body-frame [cp|f|t] wrenches enter as a (9nb, EL) operand, are
+    rotated by the current per-substep body orientation and projected
+    in-kernel via dot_J6, with the optional height/ground contact gate."""
+    from uhc_tpu.physics.pallas_lane import make_fused_do_simulation_lane
+
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    seqs = load_motion_file(NEUTRAL)
+    lib, _ = build_expert_library(topo, model, seqs, max_len=8)
+    B = 16
+    rng = jax.random.PRNGKey(0)
+    qp = jnp.tile(lib["qpos"][0, 0][None], (B, 1))
+    # sink 2 cm so ground contacts are active (else the "ground" gate
+    # correctly zeroes every wrench and the difference assert is vacuous)
+    qp = qp.at[:, 2].add(-0.02)
+    qv = 0.05 * jax.random.normal(rng, (B, topo.nv))
+    tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
+
+    cfg = EnvConfig(self_collision=True, residual_force=True,
+                    residual_force_mode="explicit",
+                    residual_force_scale=100.0,
+                    residual_force_torque=True,
+                    residual_contact_projection=True,
+                    residual_contact_only=gate is not None,
+                    residual_contact_only_ground=gate == "ground")
+    nd, vf, meta = H.action_dims(topo, cfg)
+    assert vf == 9 * topo.nbody
+    act = 0.02 * jax.random.normal(rng, (B, nd + vf + meta))
+    # non-trivial wrenches so the path is actually exercised
+    act = act.at[:, nd:nd + vf].add(
+        0.05 * jax.random.normal(jax.random.PRNGKey(3), (B, vf)))
+
+    sim = S.make_do_simulation(topo, cfg, pcg_iters=8)
+    q_ref, v_ref = sim(model, qp, qv, act, tb, 1.0)
+
+    lane = make_fused_do_simulation_lane(topo, cfg, model, env_tile=16,
+                                         sub_tile=8, pcg_iters=3,
+                                         interpret=True, pcg_vpu=True)
+    q1, v1 = lane(qp, qv, act, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q1 - q_ref))) < 2e-3
+    assert float(jnp.max(jnp.abs(v1 - v_ref))) < 2e-1
+
+    # the wrenches must matter: zeroed vf dims -> different trajectory
+    act0 = act.at[:, nd:nd + vf].set(0.0)
+    q2, _ = lane(qp, qv, act0, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q2 - q1))) > 1e-5

@@ -858,13 +858,14 @@ def env_step(topo: Topology, model: Model, cfg: EnvConfig, state: EnvState,
 
 def fused_compatible(cfg: EnvConfig, lane: bool = False) -> bool:
     """Whether a fused Pallas control-step kernel covers this config
-    (implicit/no RFC, no torque control; self-collision is supported
-    in-kernel). Per-joint meta-PD (`meta_pd_joint`) is lane-kernel-only:
-    the per-dof gain scales ride the same (·, EL) operand slots the
-    per-substep scales use (pallas_lane), but the v2 kernel has no slot
-    for them."""
+    (no torque control; self-collision is supported in-kernel).
+    Per-joint meta-PD (`meta_pd_joint`) and explicit RFC are
+    lane-kernel-only: the per-dof gain scales ride the same (·, EL)
+    operand slots the per-substep scales use, and the per-body [cp|f|t]
+    wrenches enter as one (9nb, EL) operand projected in-kernel by
+    dot_J6 (pallas_lane); the v2 kernel has slots for neither."""
     return ((not cfg.residual_force
-             or cfg.residual_force_mode == "implicit")
+             or cfg.residual_force_mode == "implicit" or lane)
             and (not cfg.meta_pd_joint or lane)
             and cfg.action_type != "torque")
 
@@ -901,9 +902,13 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
             axes = model_batch_axes(fused_model)
             batched = {f.name for f in _dc.fields(type(fused_model))
                        if getattr(axes, f.name) == 0}
-            if batched <= set(PE_MODEL_LEAVES):
+            if (batched <= set(PE_MODEL_LEAVES)
+                    and (not cfg.residual_force
+                         or cfg.residual_force_mode == "implicit")):
                 fused_per_env = True
             else:
+                # unsupported leaves, or explicit RFC (the hull-projection
+                # tables are per-shape) -> XLA fallback
                 fused_model = None
     if cfg.action_type == "torque":
         # torque control (ball family) runs the generic per-env path — the

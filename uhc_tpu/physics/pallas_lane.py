@@ -105,12 +105,26 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
     Same math, ~half the scheduler-hostile program text — the fix for the
     refresh variant's remote-compile stall (PERF.md round-4e).
     """
-    if cfg.residual_force and cfg.residual_force_mode != "implicit":
-        raise ValueError("fused path supports implicit RFC only")
     # meta_pd_joint (humanoid_im.py:1053-1064 per-joint variant): the
     # per-dof gain scales ride the kps/kds operand slots as (NP, EL)
     # lane tiles, constant across substeps
     MPJ = bool(cfg.meta_pd_joint)
+    # explicit RFC (humanoid_im.py:1080-1132): per-body [cp, f, τ] in the
+    # body frame, summed over num_each / scaled / hull-projected host-side;
+    # the kernel rotates them by the CURRENT per-substep body orientation,
+    # applies the optional contact gate, and projects with dot_J6
+    VFX = bool(cfg.residual_force
+               and cfg.residual_force_mode != "implicit")
+    VFX_GATE = None
+    if VFX and cfg.residual_contact_only:
+        VFX_GATE = ("ground" if cfg.residual_contact_only_ground
+                    else "height")
+    if VFX:
+        from uhc_tpu.physics.model import model_is_batched as _mib
+        if _mib(model):
+            raise ValueError("explicit RFC + per-env models not supported "
+                             "in the lane kernel (hull projection tables "
+                             "are per-shape)")
 
     from uhc_tpu.envs import humanoid_im as H
 
@@ -346,10 +360,13 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
         (root_ref, jz_ref, jy_ref, jx_ref, vz_ref, vy_ref, vx_ref,
          ctrl_ref, tb_ref, kps_ref, kds_ref, vf_ref) = refs[0:12]
         i0 = 12
+        if VFX:
+            vfx_ref = refs[12]       # (9nb, EL): [cp|f|t] comp-major
+            i0 = 13
         if per_env:
             (pe_cbt_ref, pe_jr_ref, pe_cp_ref, pe_scp_ref, pe_rs_ref,
-             pe_massr_ref) = refs[12:18]
-            i0 = 18
+             pe_massr_ref) = refs[i0:i0 + 6]
+            i0 += 6
         (cbt_ref, clt_ref, clr_ref, cs_ref, cpar_ref, ce_ref,
          cbr_ref, cc3_ref, gab_ref, pab_ref, rs_ref, scpk_ref,
          iel_ref) = refs[i0:i0 + 13]
@@ -447,6 +464,8 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
         tb = tb_ref[:]
         kps, kds = kps_ref[:], kds_ref[:]   # (FSP, EL); MPJ: (NP, EL)
         vf = vf_ref[:]              # (8, EL)
+        if VFX:
+            vfx = vfx_ref[:]        # (9nb, EL)
 
         rp0 = (root[0:1], root[1:2], root[2:3])
         rq0 = (root[3:4], root[4:5], root[5:6], root[6:7])
@@ -633,6 +652,10 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             vpx = vl3[0] + om3[1] * dzp - om3[2] * dyp
             vpy = vl3[1] + om3[2] * dxp - om3[0] * dzp
             act = (wpz < 0.0).astype(F32) * C_CM
+            if VFX_GATE == "ground":
+                # per-body any-active-ground-contact gate for explicit RFC
+                # (engine.vf_contact_gate "ground")
+                gate_b = jnp.max(act, axis=1)
             pen = jnp.clip(-wpz, 0.0, c_cap)
             fn = c_stiff * pen * act
             vt = jnp.sqrt(vpx**2 + vpy**2 + 1e-12)
@@ -771,7 +794,35 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             qfrc_damp = qfrc_damp - lim_damp * qveld
 
             qfrc_app = jnp.zeros_like(C_bias)
-            if cfg.residual_force:
+            if VFX:
+                # explicit RFC (engine.assemble:594-605): body-frame
+                # [cp|f|t] -> world by the current body orientation, torque
+                # about the COM, optional contact gate, dot_J6 projection
+                cpb = (vfx[0:nb], vfx[nb:2 * nb], vfx[2 * nb:3 * nb])
+                fb_x = (vfx[3 * nb:4 * nb], vfx[4 * nb:5 * nb],
+                        vfx[5 * nb:6 * nb])
+                tb_x = (vfx[6 * nb:7 * nb], vfx[7 * nb:8 * nb],
+                        vfx[8 * nb:9 * nb])
+                cp_w = _qrot(q, cpb)
+                f_w = list(_qrot(q, fb_x))
+                t_w = list(_qrot(q, tb_x))
+                if VFX_GATE == "height":
+                    g_b = (pz <= 0.12).astype(F32)
+                elif VFX_GATE == "ground":
+                    g_b = gate_b
+                else:
+                    g_b = None
+                if g_b is not None:
+                    f_w = [c * g_b for c in f_w]
+                    t_w = [c * g_b for c in t_w]
+                rxv = px + cp_w[0] - cx_
+                ryv = py + cp_w[1] - cy_
+                rzv = pz + cp_w[2] - cz_
+                T_x = [ryv * f_w[2] - rzv * f_w[1] + t_w[0],
+                       rzv * f_w[0] - rxv * f_w[2] + t_w[1],
+                       rxv * f_w[1] - ryv * f_w[0] + t_w[2]]
+                qfrc_app = qfrc_app + dot_J6(f_w, T_x)
+            if cfg.residual_force and not VFX:
                 cr = _qmul(rqn, (jnp.full_like(rqn[0], br_w),
                                  jnp.full_like(rqn[0], br_x),
                                  jnp.zeros_like(rqn[0]),
@@ -1076,12 +1127,31 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             kps = jnp.ones((B, FSP), dtype)
             kds = jnp.ones((B, FSP), dtype)
 
-        if cfg.residual_force and vf_dim:
+        if cfg.residual_force and vf_dim and not VFX:
             vf = actions[:, ndof:ndof + vf_dim] * (
                 cfg.residual_force_scale * rfc_rate)
         else:
             vf = jnp.zeros((B, 6), dtype)
         vf = jnp.pad(vf, ((0, 0), (0, 8 - vf.shape[1])))
+        if VFX:
+            # mirror env_step's host-side prep (humanoid_im.py:186-198):
+            # sum num_each slots, hull-project cp, scale f/t
+            from uhc_tpu.physics.engine import project_vf_cp
+            bvd = vf_dim // (nb * cfg.residual_force_bodies_num)
+            raw = actions[:, ndof:ndof + vf_dim].reshape(B, nb, -1, bvd)
+            raw = (jnp.sum(raw, axis=2) if raw.shape[2] > 1
+                   else raw[:, :, 0])
+            scale = cfg.residual_force_scale * rfc_rate
+            cp = raw[:, :, 0:3]
+            if cfg.residual_contact_projection:
+                cp = jax.vmap(lambda c: project_vf_cp(model, c))(cp)
+            f_b = raw[:, :, 3:6] * scale
+            t_b = (raw[:, :, 6:9] * scale if cfg.residual_force_torque
+                   else jnp.zeros_like(f_b))
+            vfx = jnp.concatenate(
+                [cp[:, :, c] for c in range(3)]
+                + [f_b[:, :, c] for c in range(3)]
+                + [t_b[:, :, c] for c in range(3)], axis=1)  # (B, 9nb)
 
         j = qpos[:, 7:7 + ndof].reshape(B, nb - 1, 3)
         zcol = jnp.zeros((B, 1), dtype)
@@ -1099,6 +1169,8 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
         tbd = jnp.zeros((B, NP), dtype).at[:, 6:6 + ndof].set(target_base)
 
         args = [root, jz, jy, jx, vz, vy, vx, ctrl, tbd, kps, kds, vf]
+        if VFX:
+            args.append(vfx)
         if Bp != B:
             args = [jnp.concatenate(
                 [a, jnp.broadcast_to(a[:1], (Bp - B,) + a.shape[1:])], 0)
@@ -1108,6 +1180,8 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
 
         KW = NP if MPJ else FSP
         widths = [16, nb, nb, nb, nb, nb, nb, NP, NP, KW, KW, 8]
+        if VFX:
+            widths.append(9 * nb)
         state_w = [16, nb, nb, nb, nb, nb, nb]
         cparams = pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)

@@ -453,3 +453,54 @@ def test_lane_kernel_explicit_rfc_interpret(gate):
     act0 = act.at[:, nd:nd + vf].set(0.0)
     q2, _ = lane(qp, qv, act0, tb, 1.0)
     assert float(jnp.max(jnp.abs(q2 - q1))) > 1e-5
+
+
+@pytest.mark.slow
+def test_lane_kernel_merge_j6_interpret():
+    """merge_j6=True (all of a substep's dot_J6 wrench projections — bias,
+    ground contact, contact damping, self-collision, explicit RFC — in ONE
+    masked-ancestor contraction) must match the per-call kernel to fp
+    noise: column-independent matmul accumulation makes each group's
+    result bit-identical, so any drift means the restructure broke data
+    flow."""
+    from uhc_tpu.physics.pallas_lane import make_fused_do_simulation_lane
+
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    seqs = load_motion_file(NEUTRAL)
+    lib, _ = build_expert_library(topo, model, seqs, max_len=8)
+    B = 16
+    rng = jax.random.PRNGKey(0)
+    qp = jnp.tile(lib["qpos"][0, 0][None], (B, 1))
+    qp = qp.at[:, 2].add(-0.02)          # active ground contacts
+    qv = 0.05 * jax.random.normal(rng, (B, topo.nv))
+    tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
+
+    # 4 merged pairs: bias + contact + damping + self-collision
+    cfg = EnvConfig(self_collision=True)
+    nd, vf, meta = H.action_dims(topo, cfg)
+    act = 0.02 * jax.random.normal(rng, (B, nd + vf + meta))
+    mk = lambda c, **kw: make_fused_do_simulation_lane(
+        topo, c, model, env_tile=16, sub_tile=8, pcg_iters=(1, 2),
+        interpret=True, pcg_vpu=True, **kw)
+    q_s, v_s = mk(cfg)(qp, qv, act, tb, 1.0)
+    q_m, v_m = mk(cfg, merge_j6=True)(qp, qv, act, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q_m - q_s))) < 1e-6
+    assert float(jnp.max(jnp.abs(v_m - v_s))) < 1e-4
+
+    # 5 merged pairs: + explicit RFC (ground gate shares the contact pass)
+    cfg5 = EnvConfig(self_collision=True, residual_force=True,
+                     residual_force_mode="explicit",
+                     residual_force_scale=100.0,
+                     residual_force_torque=True,
+                     residual_contact_projection=True,
+                     residual_contact_only=True,
+                     residual_contact_only_ground=True)
+    nd5, vf5, meta5 = H.action_dims(topo, cfg5)
+    act5 = 0.02 * jax.random.normal(rng, (B, nd5 + vf5 + meta5))
+    act5 = act5.at[:, nd5:nd5 + vf5].add(
+        0.05 * jax.random.normal(jax.random.PRNGKey(3), (B, vf5)))
+    q_s5, v_s5 = mk(cfg5)(qp, qv, act5, tb, 1.0)
+    q_m5, v_m5 = mk(cfg5, merge_j6=True)(qp, qv, act5, tb, 1.0)
+    assert float(jnp.max(jnp.abs(q_m5 - q_s5))) < 1e-6
+    assert float(jnp.max(jnp.abs(v_m5 - v_s5))) < 1e-4

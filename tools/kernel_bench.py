@@ -34,7 +34,8 @@ NEUTRAL = "/root/reference/sample_data/standing_neutral.pkl"
 def parse_cfg(s):
     out = {"E": 8, "PCG": 3, "V": 100, "SPLIT": 0, "TAIL": 16, "SC": 0,
            "BF16": 0, "LANE": 0, "SUB": 16, "PCGV": 0, "PCGPD": 0,
-           "REFRESH": 0, "PCGVS": 0, "CONDINV": 0, "MODEL": "smpl"}
+           "REFRESH": 0, "PCGVS": 0, "CONDINV": 0, "MERGEJ6": 0,
+           "MODEL": "smpl"}
     for kv in s.split(","):
         k, v = kv.split("=")
         out[k.upper()] = v if k.upper() == "MODEL" else int(v)
@@ -116,7 +117,8 @@ def main():
                     pcg_vpu=bool(c["PCGV"]),
                     refresh_at=c["REFRESH"] or None,
                     pcg_vpu_sub=bool(c["PCGVS"]),
-                    cond_inv=bool(c["CONDINV"]))
+                    cond_inv=bool(c["CONDINV"]),
+                    merge_j6=bool(c["MERGEJ6"]))
             else:
                 fused = make_fused_do_simulation(
                     topo, cfg_i, model, env_tile=c["E"], pcg_iters=c["PCG"],

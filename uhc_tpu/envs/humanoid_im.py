@@ -950,7 +950,12 @@ def make_env_step_batched(topo: Topology, cfg: EnvConfig,
                 # staging buffers exceed VMEM at NP=160, but the VPU
                 # matvec formulation still applies per sub-tile on the
                 # locally assembled systems (no extra scratch)
-                pcg_vpu_sub=big)
+                pcg_vpu_sub=big,
+                # merged wrench projections (one masked-ancestor
+                # contraction per substep) — bit-identical math, fewer
+                # dispatches; opt-in (UHC_TPU_MERGEJ6=1) until the
+                # silicon row lands (PERF.md)
+                merge_j6=os.environ.get("UHC_TPU_MERGEJ6", "0") == "1")
         else:
             from uhc_tpu.physics.pallas_substep import \
                 make_fused_do_simulation

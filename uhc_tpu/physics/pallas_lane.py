@@ -78,7 +78,8 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                                   pcg_vpu: bool = False,
                                   refresh_at: int | None = None,
                                   pcg_vpu_sub: bool = False,
-                                  cond_inv: bool = False):
+                                  cond_inv: bool = False,
+                                  merge_j6: bool = False):
     """Build the lane-major fused control step.
 
     Returns fn(qpos (B,nq), qvel (B,nv), actions (B,act), target_base
@@ -104,6 +105,14 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
     body guards the inverse pair with `pl.when(it == 0 [or refresh_at])`.
     Same math, ~half the scheduler-hostile program text — the fix for the
     refresh variant's remote-compile stall (PERF.md round-4e).
+
+    `merge_j6=True` fuses the substep's 3-5 dot_J6 wrench projections
+    (bias, ground contact, contact damping, self-collision, explicit RFC)
+    into ONE masked-ancestor contraction: all inputs are pure functions of
+    the same FK/velocity state, so their 12-column D-input groups ride the
+    lane axis of a single (nb,NP)ᵀ(nb,36-60·EL) matmul. Column-independent
+    accumulation makes each group's result bit-identical to its standalone
+    call; only dispatch count changes.
     """
     # meta_pd_joint (humanoid_im.py:1053-1064 per-joint variant): the
     # per-dof gain scales ride the kps/kds operand slots as (NP, EL)
@@ -607,22 +616,19 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             one_lin = 1.0 - T_LIN
             cbod = (cx_, cy_, cz_)
 
-            def dot_J6(wl, wa):
-                """Σ_k Jlᵀ[k]·wl[k] + Jaᵀ[k]·wa[k] — the generalized
-                projection of a per-body wrench — with ONE batched
-                ancestor contraction: the 12 D-inputs ride the lane axis
-                of a single (nb,NP)ᵀ(nb,12·EL) matmul instead of 12
-                dispatches (dispatch latency dominates at this size)."""
+            def _j6_inputs(wl, wa):
                 arrs = []
                 for k in range(3):
                     k1, k2 = (k + 1) % 3, (k + 2) % 3
                     arrs += [wl[k], wl[k] * cbod[k2], wl[k] * cbod[k1],
                              wa[k]]
-                G = _dg(K_AM, jnp.concatenate(arrs, axis=1), 0, 0)
+                return arrs
+
+            def _j6_reduce(G, o0):
                 total = None
                 for k in range(3):
                     k1, k2 = (k + 1) % 3, (k + 2) % 3
-                    o = 4 * k * EL
+                    o = o0 + 4 * k * EL
                     Dw = G[:, o:o + EL]
                     Dc2 = G[:, o + EL:o + 2 * EL]
                     Dc1 = G[:, o + 2 * EL:o + 3 * EL]
@@ -635,7 +641,33 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                     total = term if total is None else total + term
                 return total
 
-            C_bias = dot_J6(fb, tb_b)
+            def dot_J6(wl, wa):
+                """Σ_k Jlᵀ[k]·wl[k] + Jaᵀ[k]·wa[k] — the generalized
+                projection of a per-body wrench — with ONE batched
+                ancestor contraction: the 12 D-inputs ride the lane axis
+                of a single (nb,NP)ᵀ(nb,12·EL) matmul instead of 12
+                dispatches (dispatch latency dominates at this size)."""
+                G = _dg(K_AM, jnp.concatenate(_j6_inputs(wl, wa), axis=1),
+                        0, 0)
+                return _j6_reduce(G, 0)
+
+            def dot_J6_multi(pairs):
+                """All of the substep's wrench projections in ONE
+                masked-ancestor contraction (merge_j6): each pair's
+                12-column group rides the lane axis; column-independent
+                matmul accumulation keeps every group bit-identical to
+                its standalone dot_J6."""
+                arrs = []
+                for wl, wa in pairs:
+                    arrs += _j6_inputs(wl, wa)
+                G = _dg(K_AM, jnp.concatenate(arrs, axis=1), 0, 0)
+                return [_j6_reduce(G, 12 * p * EL)
+                        for p in range(len(pairs))]
+
+            if merge_j6:
+                j6_pairs = [(fb, tb_b)]
+            else:
+                C_bias = dot_J6(fb, tb_b)
 
             # ---------- ground contacts (nb, K, EL) ------------------------
             q3 = [t[:, None, :] for t in (qw, qx_, qy_, qz_)]
@@ -685,7 +717,10 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             bry2 = jnp.sum(bco * ryc * ryc, 1)
             brxy = jnp.sum(bco * rxc * ryc, 1)
             zw = jnp.zeros_like(Fz)
-            qfrc_con = dot_J6([zw, zw, Fz], [Tx, Ty, zw])
+            if merge_j6:
+                j6_pairs.append(([zw, zw, Fz], [Tx, Ty, zw]))
+            else:
+                qfrc_con = dot_J6([zw, zw, Fz], [Tx, Ty, zw])
 
             # damping rhs via the same contraction trick (v2 755-768)
             v6l = [vl[k] + _cross(om, r_ip)[k] for k in range(3)]
@@ -702,7 +737,10 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                            + sum(Wla[cj][ci] * om[ci] for ci in range(3)))
                 was.append(sum(Wla[ci][cj] * v6l[ci] for ci in range(3))
                            + sum(Waa[ci][cj] * om[ci] for ci in range(3)))
-            qfrc_damp = -dot_J6(wls, was)
+            if merge_j6:
+                j6_pairs.append((wls, was))
+            else:
+                qfrc_damp = -dot_J6(wls, was)
 
             # ---------- self-collision (lane-packed combo rows) ------------
             if use_sc:
@@ -775,7 +813,10 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                 Tbody = [SA[:, (3 + c) * EL:(4 + c) * EL]
                          + SB[:, (3 + c) * EL:(4 + c) * EL]
                          for c in range(3)]
-                qfrc_con = qfrc_con + dot_J6(Fbody, Tbody)
+                if merge_j6:
+                    j6_pairs.append((Fbody, Tbody))
+                else:
+                    qfrc_con = qfrc_con + dot_J6(Fbody, Tbody)
 
             # ---------- joint limits / PD prep (NP, EL) --------------------
             QDV = _dg(K_S3, jnp.concatenate(
@@ -791,9 +832,10 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             out_ = ((below > 0) | (above > 0)).astype(F32) * T_JNT
             qfrc_lim = LIM_K * (below - above) * T_JNT
             lim_damp = out_ * LIM_D
-            qfrc_damp = qfrc_damp - lim_damp * qveld
+            if not merge_j6:
+                qfrc_damp = qfrc_damp - lim_damp * qveld
 
-            qfrc_app = jnp.zeros_like(C_bias)
+            qfrc_app = jnp.zeros_like(qd)
             if VFX:
                 # explicit RFC (engine.assemble:594-605): body-frame
                 # [cp|f|t] -> world by the current body orientation, torque
@@ -821,7 +863,10 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                 T_x = [ryv * f_w[2] - rzv * f_w[1] + t_w[0],
                        rzv * f_w[0] - rxv * f_w[2] + t_w[1],
                        rxv * f_w[1] - ryv * f_w[0] + t_w[2]]
-                qfrc_app = qfrc_app + dot_J6(f_w, T_x)
+                if merge_j6:
+                    j6_pairs.append((f_w, T_x))
+                else:
+                    qfrc_app = qfrc_app + dot_J6(f_w, T_x)
             if cfg.residual_force and not VFX:
                 cr = _qmul(rqn, (jnp.full_like(rqn[0], br_w),
                                  jnp.full_like(rqn[0], br_x),
@@ -836,6 +881,21 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                 for lane_i, wv in enumerate(wrench):
                     wvc = jnp.clip(wv, -rf_lim, rf_lim)
                     qfrc_app = qfrc_app + wvc * T_LEQ[lane_i]
+
+            if merge_j6:
+                # flush: every wrench projection of the substep in ONE
+                # masked-ancestor contraction (order matches the appends)
+                outs = dot_J6_multi(j6_pairs)
+                C_bias = outs[0]
+                qfrc_con = outs[1]
+                qfrc_damp = -outs[2] - lim_damp * qveld
+                oi = 3
+                if use_sc:
+                    qfrc_con = qfrc_con + outs[oi]
+                    oi += 1
+                if VFX:
+                    qfrc_app = qfrc_app + outs[oi]
+                    oi += 1
 
             kp_i = T_JKP * kscale
             kd_i = T_JKD * dscale

@@ -29,6 +29,18 @@ def main():
     p.add_argument("--epoch", type=int, default=0, help="warm-start epoch")
     p.add_argument("--max-epochs", type=int, default=500)
     p.add_argument("--succ-threshold", type=float, default=0.95)
+    p.add_argument("--window-criterion", action="store_true",
+                   help="stop on windowed training succ alone (the pre-r4g "
+                        "behavior). Default is the reference's criterion: "
+                        "once windowed succ passes the threshold, run the "
+                        "deterministic FULL-sequence eval and stop only "
+                        "when the key's seq-level succ is 1.0 — r4g showed "
+                        "horizon-48 window succ 0.94+ coexisting with "
+                        "full-240-frame eval succ 0 on all three refit "
+                        "clips (fit_uhc.py:98-134 evals the whole seq)")
+    p.add_argument("--eval-every", type=int, default=20,
+                   help="full-sequence eval cadence once the windowed "
+                        "threshold is reached")
     p.add_argument("--num-envs", type=int, default=512)
     p.add_argument("--horizon", type=int, default=48)
     p.add_argument("--results-dir", default=None,
@@ -61,13 +73,29 @@ def main():
 
     singles = os.path.join(agent.results_dir, "_singles")
     os.makedirs(singles, exist_ok=True)
+    last_eval = None
     for i in range(args.epoch, args.epoch + args.max_epochs):
         stats = agent.optimize_policy(i)
         succ = float(stats["success_rate"])
         logger.info(f"fit {args.key} epoch {i}: "
                     f"R={float(stats['reward_mean']):.4f} succ={succ:.3f}")
-        if succ >= args.succ_threshold:
-            logger.info(f"success threshold reached at epoch {i}")
+        if succ < args.succ_threshold:
+            continue
+        if args.window_criterion:
+            logger.info(f"window success threshold reached at epoch {i}")
+            break
+        # reference criterion: the whole sequence must track
+        # deterministically (fit_uhc.py:98-134) — windowed training succ
+        # measures horizon-length rollouts from random starts, which r4g
+        # measured as a non-predictor of seq-level succ
+        if last_eval is not None and i - last_eval < args.eval_every:
+            continue
+        last_eval = i
+        m = agent.eval_policy()["per_seq"][args.key]
+        logger.info(f"full-seq eval at epoch {i}: succ={m['succ']:.0f} "
+                    f"mpjpe={m['mpjpe']:.1f} root_dist={m['root_dist']:.1f}")
+        if m["succ"] >= 1.0:
+            logger.info(f"full-sequence success at epoch {i}")
             break
     import pickle
 

@@ -1,168 +1,280 @@
 #!/usr/bin/env python3
-"""Benchmark: batched humanoid physics steps/sec on the local accelerator.
+"""Benchmark: batched humanoid physics substeps/sec on the local accelerator.
 
 The BASELINE metric (BASELINE.md): ≥1M batched humanoid physics (sub)steps
 per second on TPU. One "physics step" = one 450 Hz stable-PD substep of the
 full 24-body / 75-dof SMPL humanoid (FK + CRB mass matrix + bias + contacts
-+ two 75×75 Cholesky solves + integration) — the unit the reference executes
-as `sim.step()` + `cho_solve` (uhc/envs/humanoid_im.py:1145-1190).
++ two 75×75 solves + integration) — the unit the reference executes as
+`sim.step()` + `cho_solve` (uhc/envs/humanoid_im.py:1145-1190).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` is measured against 1,000,000 steps/sec (the BASELINE.json
-north star; the reference itself publishes no numbers — a single-threaded
-MuJoCo 2.1 humanoid runs O(1e4) steps/sec on CPU).
+`vs_baseline` is measured against 1,000,000 substeps/sec.
+
+Round-5 redesign (VERDICT r4 weak #1: BENCH_r04 was rc=124 and the one
+completed cold run printed a garbage 2.5e9):
+
+* The production lane kernel's remote Mosaic compile takes 25-45 min cold
+  and the JAX persistent cache does NOT cover it, so a fresh process can
+  never compile it inside the driver budget. Instead the compiled
+  executable itself ships in the repo: `bench_artifacts/lane.aot` holds a
+  `jax.experimental.serialize_executable` pickle + the exact input arrays.
+  Loading + running it costs seconds. (Regenerate with
+  `python bench.py --save-aot lane` after changing the kernel.)
+* If the artifact is missing/incompatible (different device kind, jax
+  version, stale kernel), bench falls back to COMPILING the v2 split-path
+  kernel — measured 73-80 s cold on this platform's v5e — still inside a
+  10-minute budget. The artifact is best-effort; the fallback is the
+  correctness anchor.
+* Timing is sanity-guarded: every measured run ends in a host fetch
+  (float(jnp.sum(...))) so asynchronous dispatch cannot return early, the
+  timer loops until two consecutive runs agree within 30 %, and the final
+  number must be physically plausible (1e3..5e7 substeps/s) with a finite
+  root height — the r4 cold run's 2.5e9 would have been rejected and
+  re-measured.
 """
 import json
 import os
+import pickle
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# persistent compilation cache: the fused Pallas control-step kernel takes
-# ~80 s to compile once; repeat runs hit the cache
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                 ".jax_cache_tpu"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+ART_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench_artifacts")
+TARGET = 1_000_000.0
+
+
+def _enable_cache():
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _measure(run, qp0, qv0, B, STEPS, FS, tries=6):
+    """Timing with async-dispatch and warm-up guards.
+
+    Each run is synced by fetching a scalar to host. Accepts the first
+    pair of consecutive timings that agree within 30 % (the r4 garbage
+    number came from a single unrepeatable 0.24 ms 'measurement').
+    Returns (substeps_per_sec, diagnostics).
+    """
+    import jax.numpy as jnp
+    qp, qv, z = run(qp0, qv0)
+    zsum = float(jnp.mean(z[-1]))             # warm-up + full sync
+    times = []
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        qp, qv, z = run(qp, qv)
+        zlast = float(jnp.mean(z[-1]))
+        times.append(time.perf_counter() - t0)
+        if len(times) >= 2:
+            a, b = times[-2], times[-1]
+            if max(a, b) <= 1.3 * min(a, b):
+                dt = min(a, b)
+                break
+    else:
+        times_s = sorted(times)
+        dt = times_s[len(times_s) // 2]       # median as last resort
+    sps = B * STEPS * FS / dt
+    sane = (1e3 <= sps <= 5e7) and (abs(zlast) < 10.0) and (zlast == zlast)
+    return sps, {"times": [round(t, 4) for t in times],
+                 "mean_root_z": round(zlast, 4), "sane": sane,
+                 "warm_z": zsum}
+
+
+def _build_inputs(B, STEPS):
+    """Expert-library-free inputs: the standing qpos + zero actions."""
+    import jax.numpy as jnp
+
+    from uhc_tpu.config.config import EnvConfig
+    from uhc_tpu.data.dataset import build_expert_library, load_motion_file
+    from uhc_tpu.envs import humanoid_im as H
+    from uhc_tpu.physics.model import model_to_dtype
+    from uhc_tpu.smpl.mjcf import load_mjcf_humanoid
+
+    XML = ("/root/reference/assets/mujoco_models/"
+           "humanoid_smpl_neutral_mesh.xml")
+    NEUTRAL = "/root/reference/sample_data/standing_neutral.pkl"
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    cfg = EnvConfig(self_collision=True)
+    seqs = load_motion_file(NEUTRAL)
+    lib, _ = build_expert_library(topo, model, seqs, max_len=4)
+    qp0 = jnp.tile(lib["qpos"][0, 0][None], (B, 1))
+    qv0 = jnp.zeros((B, topo.nv))
+    ndof, vf, meta = H.action_dims(topo, cfg)
+    actions = jnp.zeros((B, ndof + vf + meta))
+    tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
+    return topo, model, cfg, qp0, qv0, actions, tb
+
+
+def _make_run(kind, topo, model, cfg, actions, tb, STEPS):
+    import jax
+    import jax.numpy as jnp
+
+    if kind == "lane":
+        from uhc_tpu.physics.pallas_lane import make_fused_do_simulation_lane
+        pcg = int(os.environ.get("BENCH_PCG", 2))
+        pcg_pd = int(os.environ.get("BENCH_PCGPD", 1))
+        fused = make_fused_do_simulation_lane(
+            topo, cfg, model,
+            env_tile=int(os.environ.get("BENCH_E", 128)),
+            sub_tile=int(os.environ.get("BENCH_SUB", 32)),
+            pcg_iters=(pcg_pd, pcg) if pcg_pd else pcg,
+            refresh_at=int(os.environ.get("BENCH_REFRESH", 0)) or None,
+            cond_inv=os.environ.get("BENCH_CONDINV", "0") == "1",
+            pcg_vpu=os.environ.get("BENCH_PCGV", "1") == "1")
+    else:
+        from uhc_tpu.physics.pallas_substep import make_fused_do_simulation
+        fused = make_fused_do_simulation(
+            topo, cfg, model, pcg_iters=int(os.environ.get("BENCH_PCG", 2)),
+            split=True, tail_tile=int(os.environ.get("BENCH_TAIL", 16)))
+
+    def run(qp, qv):
+        def body(c, _):
+            qp, qv = c
+            return fused(qp, qv, actions, tb, 1.0), qp[:, 2]
+        (qp, qv), z = jax.lax.scan(body, (qp, qv), None, length=STEPS)
+        return qp, qv, z
+
+    return run
+
+
+def _try_aot(path):
+    """Load + measure a serialized executable. Returns (sps, diag) or
+    None on ANY failure (missing, device mismatch, deserialize error)."""
+    trace = os.environ.get("BENCH_TRACE") == "1"
+
+    def _t(msg):
+        if trace:
+            print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+                  flush=True)
+    try:
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import serialize_executable
+
+        _t(f"aot: reading {path}")
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        _t("aot: querying devices")
+        dev = jax.devices()[0]
+        if d.get("device_kind") not in (None, dev.device_kind):
+            print(f"# aot device mismatch: {d.get('device_kind')!r} vs "
+                  f"{dev.device_kind!r}", file=sys.stderr)
+            return None
+        _t("aot: deserializing")
+        compiled = serialize_executable.deserialize_and_load(*d["exec"])
+        _t("aot: measuring")
+
+        def run(qp, qv):
+            return compiled(qp, qv)
+
+        sps, diag = _measure(run, jnp.asarray(d["qp0"]),
+                             jnp.asarray(d["qv0"]), d["B"], d["STEPS"],
+                             d["FS"])
+        _t(f"aot: done {sps:.0f}")
+        diag["path"] = f"aot:{d.get('label', '?')}"
+        return (sps, diag) if diag["sane"] else None
+    except Exception as e:  # noqa: BLE001 — artifact is best-effort
+        print(f"# aot load failed: {type(e).__name__}: {e}"[:200],
+              file=sys.stderr)
+        return None
+
+
+def _save_aot(kind):
+    """Compile `kind` and write bench_artifacts/<kind>.aot (+ measure)."""
+    import jax
+    from jax.experimental import serialize_executable
+    import numpy as np
+
+    B = int(os.environ.get("BENCH_ENVS", 2048))
+    STEPS = int(os.environ.get("BENCH_STEPS", 20))
+    topo, model, cfg, qp0, qv0, actions, tb = _build_inputs(B, STEPS)
+    run = _make_run(kind, topo, model, cfg, actions, tb, STEPS)
+    t0 = time.perf_counter()
+    compiled = jax.jit(run).lower(qp0, qv0).compile()
+    t_compile = time.perf_counter() - t0
+    ser = serialize_executable.serialize(compiled)
+    os.makedirs(ART_DIR, exist_ok=True)
+    path = os.path.join(ART_DIR, f"{kind}.aot")
+    with open(path, "wb") as f:
+        pickle.dump({"exec": ser, "qp0": np.asarray(qp0),
+                     "qv0": np.asarray(qv0), "B": B, "STEPS": STEPS,
+                     "FS": cfg.frame_skip, "label": kind,
+                     "device_kind": jax.devices()[0].device_kind,
+                     "jax_version": jax.__version__}, f)
+    sps, diag = _measure(lambda a, b: compiled(a, b), qp0, qv0, B, STEPS,
+                         cfg.frame_skip)
+    print(json.dumps({"saved": path, "bytes": os.path.getsize(path),
+                      "compile_s": round(t_compile, 1),
+                      "sps": round(sps, 0), **diag}), file=sys.stderr)
+    return sps
 
 
 def main():
-    from uhc_tpu.config.config import EnvConfig
-    from uhc_tpu.data.dataset import (build_expert_library, load_motion_file,
-                                      load_neutral)
-    from uhc_tpu.envs import humanoid_im as H
-    from uhc_tpu.physics.model import model_to_dtype
-    from uhc_tpu.smpl.constants import default_diff_weights
-    from uhc_tpu.smpl.mjcf import load_mjcf_humanoid
+    if len(sys.argv) >= 3 and sys.argv[1] == "--save-aot":
+        _enable_cache()
+        _save_aot(sys.argv[2])
+        return
 
-    XML = "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
-    NEUTRAL = "/root/reference/sample_data/standing_neutral.pkl"
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET_S", 540))
+    _enable_cache()
 
-    B = int(os.environ.get("BENCH_ENVS", 2048))
-    CTRL_STEPS = int(os.environ.get("BENCH_STEPS", 20))
+    best = None  # (sps, diag)
 
-    topo, model = load_mjcf_humanoid(XML)
-    model = model_to_dtype(model, jnp.float32)
-    seqs = load_motion_file(NEUTRAL)
-    lib, _ = build_expert_library(topo, model, seqs)
-    nqp, nqv = load_neutral(NEUTRAL)
-    jpw, bdw = default_diff_weights()
-    jpw, bdw = jnp.asarray(jpw), jnp.asarray(bdw)
-    cfg = EnvConfig()
+    # 1) pre-compiled production-kernel executable (seconds to load)
+    if os.environ.get("BENCH_AOT", "1") == "1":
+        for name in ("lane.aot", "split.aot"):
+            path = os.path.join(ART_DIR, name)
+            if os.path.exists(path):
+                got = _try_aot(path)
+                if got and (best is None or got[0] > best[0]):
+                    best = got
+            if best is not None:
+                break
 
-    rng = jax.random.PRNGKey(0)
-    keys = jax.random.split(rng, B)
-    states = jax.vmap(
-        lambda k: H.env_reset(topo, model, cfg, k, jnp.zeros((), jnp.int32),
-                              lib, nqp, nqv, train=True))(keys)
-    ndof, vf, meta = H.action_dims(topo, cfg)
-    actions = jnp.zeros((B, ndof + vf + meta))
-
-    # BENCH_FUSED=1 (default) measures the fused Pallas control-step kernel
-    # — the pure physics chain, matching the reference's counted unit
-    # (sim.step(), no obs/reward). BENCH_FUSED=0 measures the XLA env step
-    # (physics + obs + reward; obs/reward are <1% of it).
-    # Paths are tried best-first: lane (v3) -> v2 split -> XLA solver, so a
-    # remote-compile flake on one kernel degrades the number instead of
-    # erroring the benchmark.
-    use_fused = os.environ.get("BENCH_FUSED", "1") == "1"
-
-    tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
-
-    def make_run(path):
-        if path in ("lane", "split"):
-            if path == "lane":
-                # lane-major (v3) kernel with env-major VPU-PCG — the
-                # production training path (envs.humanoid_im
-                # make_env_step_batched) and measured-best config
-                # (PERF.md round-3 table)
-                from uhc_tpu.physics.pallas_lane import \
-                    make_fused_do_simulation_lane
-
-                pcg = int(os.environ.get("BENCH_PCG", 2))
-                pcg_pd = int(os.environ.get("BENCH_PCGPD", 1))
-                refresh = int(os.environ.get("BENCH_REFRESH", 0))
-                fused = make_fused_do_simulation_lane(
-                    topo, cfg, model,
-                    env_tile=int(os.environ.get("BENCH_E", 128)),
-                    sub_tile=int(os.environ.get("BENCH_SUB", 32)),
-                    pcg_iters=(pcg_pd, pcg) if pcg_pd else pcg,
-                    refresh_at=refresh or None,
-                    pcg_vpu=os.environ.get("BENCH_PCGV", "1") == "1")
-            else:
-                from uhc_tpu.physics.pallas_substep import \
-                    make_fused_do_simulation
-
-                fused = make_fused_do_simulation(
-                    topo, cfg, model,
-                    pcg_iters=int(os.environ.get("BENCH_PCG", 2)),
-                    split=os.environ.get("BENCH_SPLIT", "1") == "1",
-                    tail_tile=int(os.environ.get("BENCH_TAIL", 16)))
-
-            @jax.jit
-            def run(states):
-                def body(c, _):
-                    qp, qv = c
-                    qp2, qv2 = fused(qp, qv, actions, tb, 1.0)
-                    return (qp2, qv2), qp2[:, 2]
-                (qp, qv), z = jax.lax.scan(
-                    body, (states.qpos, states.qvel), None,
-                    length=CTRL_STEPS)
-                import dataclasses
-                return dataclasses.replace(states, qpos=qp, qvel=qv), z
-        else:
-            step = H.make_env_step_batched(
-                topo, cfg,
-                use_fast_solver=os.environ.get("BENCH_EXACT", "0") != "1",
-                pcg_iters=int(os.environ.get("BENCH_PCG", 5)))
-
-            @jax.jit
-            def run(states):
-                def body(s, _):
-                    s2, _, r, _, d = step(model, s, actions, lib, jpw, bdw)
-                    return s2, r
-                s, rews = jax.lax.scan(body, states, None,
-                                       length=CTRL_STEPS)
-                return s, rews
-        return run
-
-    if not use_fused:
-        paths = ["xla"]
-    elif os.environ.get("BENCH_LANE", "1") == "1":
-        paths = ["lane", "split", "xla"]
-    else:
-        paths = ["split", "xla"]
-
-    dt = None
-    for i, path in enumerate(paths):
+    # 2) fallback: compile the v2 split kernel fresh (~80 s on the v5e).
+    #    Skipped when an AOT number landed, unless BENCH_COMPILE=1 forces
+    #    a comparison row.
+    need_compile = best is None or os.environ.get("BENCH_COMPILE") == "1"
+    remaining = budget - (time.perf_counter() - t_start)
+    if need_compile and remaining > 150:
         try:
-            run = make_run(path)
-            s, rews = run(states)           # compile
-            jax.block_until_ready(rews)
-            t0 = time.perf_counter()
-            s, rews = run(s)                # measure
-            jax.block_until_ready(rews)
-            dt = time.perf_counter() - t0
-            break
-        except Exception as e:
-            if i + 1 == len(paths):
-                raise
-            print(f"# bench path '{path}' failed "
-                  f"({type(e).__name__}); falling back", file=sys.stderr)
+            B = int(os.environ.get("BENCH_ENVS", 2048))
+            STEPS = int(os.environ.get("BENCH_STEPS", 20))
+            topo, model, cfg, qp0, qv0, actions, tb = _build_inputs(B, STEPS)
+            import jax
+            run = jax.jit(_make_run("split", topo, model, cfg, actions, tb,
+                                    STEPS))
+            sps, diag = _measure(run, qp0, qv0, B, STEPS, cfg.frame_skip)
+            diag["path"] = "compiled:split"
+            if diag["sane"] and (best is None or sps > best[0]):
+                best = (sps, diag)
+        except Exception as e:  # noqa: BLE001
+            print(f"# split compile failed: {type(e).__name__}: {e}"[:300],
+                  file=sys.stderr)
 
-    substeps = B * CTRL_STEPS * cfg.frame_skip
-    sps = substeps / dt
+    if best is None:
+        print(json.dumps({"metric": "humanoid_physics_steps_per_sec",
+                          "value": 0.0, "unit": "450Hz_substeps/sec",
+                          "vs_baseline": 0.0,
+                          "error": "no path produced a sane measurement"}))
+        sys.exit(1)
+
+    sps, diag = best
+    print(f"# {diag}", file=sys.stderr)
     print(json.dumps({
         "metric": "humanoid_physics_steps_per_sec",
         "value": round(sps, 1),
         "unit": "450Hz_substeps/sec",
-        "vs_baseline": round(sps / 1_000_000.0, 4),
+        "vs_baseline": round(sps / TARGET, 4),
     }))
 
 

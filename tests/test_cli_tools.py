@@ -92,3 +92,48 @@ def test_display_coverage(tmp_path):
     out = display_coverage(res, str(tmp_path / "cov.png"))
     import os
     assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_create_vis_model(tmp_path):
+    """vis_model_utils.py:6 twin: clones the humanoid, strips actuators,
+    disables contacts, prefixes names per copy."""
+    import xml.etree.ElementTree as ET
+
+    from uhc_tpu.utils.vis_model import create_vis_model
+
+    src = ("/root/reference/assets/mujoco_models/"
+           "humanoid_smpl_neutral_mesh.xml")
+    out = str(tmp_path / "vis.xml")
+    create_vis_model(src, out, num=3)
+    root = ET.parse(out).getroot()
+    assert root.find("actuator") is None
+    assert root.find("contact") is None
+    flags = root.find("option").findall("flag")
+    assert any(f.get("contact") == "disable" for f in flags)
+    wb = root.find("worldbody")
+    names = [b.get("name") for b in wb.findall("body")]
+    base = [n for n in names if not n[0].isdigit()]
+    assert len(names) >= 3 and any(n.startswith("1_") for n in names)
+    # joints in the clones are prefixed too (no name collisions)
+    all_j = [j.get("name") for j in wb.findall(".//joint")]
+    assert len(all_j) == len(set(all_j)), base
+
+
+def test_replay_dump_states(tmp_path):
+    import joblib
+    import numpy as np
+
+    from uhc_tpu.cli import replay
+
+    rng = np.random.RandomState(7)
+    takes = {"t0": {"pred_jpos": rng.randn(4, 24, 3),
+                    "gt_jpos": rng.randn(4, 24, 3),
+                    "percent": 1.0, "fail_safe": False}}
+    pkl = str(tmp_path / "dump.pkl")
+    joblib.dump(takes, pkl)
+    npz = str(tmp_path / "states.npz")
+    replay.main(["--data", pkl, "--take", "t0",
+                 "--out", str(tmp_path / "r.png"), "--dump-states", npz])
+    d = np.load(npz)
+    assert d["pred_jpos"].shape == (4, 24, 3)
+    assert d["gt_jpos"].shape == (4, 24, 3)

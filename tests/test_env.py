@@ -195,3 +195,52 @@ def test_eval_per_seq_params(setup):
                                np.asarray(t2["pred_qpos"]), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(fs1), np.asarray(fs2))
     np.testing.assert_allclose(np.asarray(pc1), np.asarray(pc2), atol=1e-6)
+
+
+def test_explicit_rfc_per_slot_fold(setup):
+    """residual_force_bodies_num > 1 (ADVICE r4): N identical slots
+    [cp, f, t] must act exactly like ONE slot [cp, N·f, N·t] — the
+    per-slot cross-term fold (τ_eff = Σ t_i + cp_i × f_i at cp=0) is
+    equivalent to the reference's per-idx mj_applyFT loop
+    (uhc/envs/humanoid_im.py:1106-1131), which scales linearly in
+    identical slots. Also covers the rfc_rate fix: explicit mode uses
+    residual_force_scale alone (:1110), so rfc_rate must NOT change the
+    result."""
+    import dataclasses as dc
+
+    topo, model, cfg, lib, aux = setup
+    NE = 3
+    cfg1 = dc.replace(cfg, residual_force=True,
+                      residual_force_mode="explicit",
+                      residual_force_torque=True,
+                      residual_force_bodies_num=1, meta_pd=False)
+    cfgN = dc.replace(cfg1, residual_force_bodies_num=NE)
+    rng = jax.random.PRNGKey(11)
+    state = H.env_reset(topo, model, cfg1, rng, jnp.zeros((), jnp.int32),
+                        lib, aux["neutral_qpos"], aux["neutral_qvel"],
+                        train=False)
+    ndof, vf1, _ = H.action_dims(topo, cfg1)
+    _, vfN, _ = H.action_dims(topo, cfgN)
+    assert vfN == NE * vf1
+    ctrl = 0.05 * jax.random.normal(rng, (ndof,))
+    slot = 0.3 * jax.random.normal(jax.random.PRNGKey(12),
+                                   (topo.nbody, 9))
+    # one slot carrying N× force/torque at the same cp
+    slot1 = jnp.concatenate([slot[:, :3], NE * slot[:, 3:]], axis=1)
+    a1 = jnp.concatenate([ctrl, slot1.reshape(-1)])
+    # N identical slots
+    aN = jnp.concatenate(
+        [ctrl, jnp.tile(slot[:, None, :], (1, NE, 1)).reshape(-1)])
+
+    s1, _, _, _, _ = H.env_step(topo, model, cfg1, state, a1, lib,
+                                aux["jpos_diffw"], aux["body_diffw"])
+    sN, _, _, _, _ = H.env_step(topo, model, cfgN, state, aN, lib,
+                                aux["jpos_diffw"], aux["body_diffw"])
+    np.testing.assert_allclose(np.asarray(sN.qpos), np.asarray(s1.qpos),
+                               atol=2e-4)
+    # rfc_rate must be a no-op in explicit mode
+    s1b, _, _, _, _ = H.env_step(topo, model, cfg1, state, a1, lib,
+                                 aux["jpos_diffw"], aux["body_diffw"],
+                                 rfc_rate=0.25)
+    np.testing.assert_allclose(np.asarray(s1b.qpos), np.asarray(s1.qpos),
+                               atol=1e-6)

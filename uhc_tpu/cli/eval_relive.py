@@ -130,6 +130,13 @@ def main():
            for k in next(iter(results.values()))}
     agg["coverage"] = int(sum(m["succ"] for m in results.values()))
     print("SUMMARY", json.dumps(agg, indent=2))
+    # artifact-hygiene rule (VERDICT r4 #8): no number without a committed
+    # file — persist the summary + per-seq metrics next to the checkpoints
+    out_path = os.path.join(agent.results_dir,
+                            f"eval_relive_{args.epoch:04d}.json")
+    with open(out_path, "w") as f:
+        json.dump({"summary": agg, "per_seq": results}, f, indent=1)
+    print(f"wrote {out_path}")
     if args.dump:
         import joblib
         joblib.dump(dump, args.dump)

@@ -91,7 +91,9 @@ def main():
         if last_eval is not None and i - last_eval < args.eval_every:
             continue
         last_eval = i
-        m = agent.eval_policy()["per_seq"][args.key]
+        # track_best=False: the key-specialized policy must not clobber
+        # the shared results-dir iter_best.p (ADVICE r4)
+        m = agent.eval_policy(track_best=False)["per_seq"][args.key]
         logger.info(f"full-seq eval at epoch {i}: succ={m['succ']:.0f} "
                     f"mpjpe={m['mpjpe']:.1f} root_dist={m['root_dist']:.1f}")
         if m["succ"] >= 1.0:

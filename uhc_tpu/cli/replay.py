@@ -30,6 +30,11 @@ def main(argv=None):
     p.add_argument("--out-dir", default="replay_vis")
     p.add_argument("--fps", type=int, default=30)
     p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--dump-states", default=None, metavar="NPZ",
+                   help="also write the take's raw arrays (pred/gt joint "
+                        "positions, qpos if present) to an .npz for "
+                        "notebook inspection — the headless 'pause and "
+                        "poke' equivalent of the reference viewer")
     args = p.parse_args(argv)
 
     import joblib
@@ -59,6 +64,12 @@ def main(argv=None):
     if key not in takes:
         raise SystemExit(f"take {key!r} not in {sorted(takes)}")
     v = takes[key]
+    if args.dump_states:
+        import numpy as np
+        np.savez(args.dump_states,
+                 **{k2: np.asarray(v2) for k2, v2 in v.items()
+                    if hasattr(v2, "__len__") and not isinstance(v2, str)})
+        print(f"{key} states -> {args.dump_states}")
     path = render_comparison(v["pred_jpos"], v.get("gt_jpos"),
                              out_path=args.out, fps=args.fps,
                              stride=args.stride)

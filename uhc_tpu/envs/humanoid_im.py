@@ -185,17 +185,9 @@ def do_simulation(topo: Topology, model: Model, cfg: EnvConfig, qpos, qvel,
             # body frame; force/torque scaled by residual_force_scale;
             # optional hull projection of the contact point (:1107) and
             # contact-only gating (:1089-1105).
-            bvd = body_vf_dim(cfg)
-            vf = action[ndof:ndof + vf_dim].reshape(topo.nbody, -1, bvd)
-            vf = jnp.sum(vf, axis=1) if vf.shape[1] > 1 else vf[:, 0]
-            scale = cfg.residual_force_scale * rfc_rate
-            cp = vf[:, 0:3]
-            if cfg.residual_contact_projection:
-                cp = E.project_vf_cp(model, cp)
-            f = vf[:, 3:6] * scale
-            t = (vf[:, 6:9] * scale if cfg.residual_force_torque
-                 else jnp.zeros_like(f))
-            vf_body = jnp.concatenate([cp, f, t], axis=1)
+            vf_body = E.prep_explicit_vf(model, cfg,
+                                         action[ndof:ndof + vf_dim],
+                                         topo.nbody)
             if cfg.residual_contact_only:
                 vf_gate = ("ground" if cfg.residual_contact_only_ground
                            else "height")

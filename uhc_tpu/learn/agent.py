@@ -323,10 +323,15 @@ class CopycatAgent:
         return stats
 
     # -- evaluation during training (agent_copycat.py:346-349) --------------
-    def eval_policy(self):
+    def eval_policy(self, track_best: bool = True):
         """Deterministic eval over the full library; returns the
         summarize() dict (coverage, mpjpe, ...). Tracks the best coverage
-        and keeps iter_best.p (agent_copycat.py:216-236)."""
+        and keeps iter_best.p (agent_copycat.py:216-236).
+
+        `track_best=False` skips the iter_best.p bookkeeping — the
+        single-key fit loop (cli/fit.py) evaluates a key-specialized
+        policy whose full-library coverage must never clobber the shared
+        best checkpoint."""
         from uhc_tpu.learn.evaluate import make_eval_fn, summarize
 
         if not hasattr(self, "_eval_fn") or self._eval_fn is None:
@@ -346,6 +351,8 @@ class CopycatAgent:
                         self.seq_keys, smpl_data=self.smpl_data,
                         root_offset=root_offset)
         cov = res["summary"]["coverage"]
+        if not track_best:
+            return res
         if not hasattr(self, "_best_coverage"):
             # resume-safe: a fresh (short) run must not clobber a better
             # iter_best.p from a previous run

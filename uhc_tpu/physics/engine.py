@@ -514,6 +514,47 @@ def project_vf_cp(model: Model, cp):
     return jnp.clip(cp, lo, hi)
 
 
+def prep_explicit_vf(model: Model, cfg, vf_flat, nbody: int):
+    """Explicit-RFC action prep shared by the XLA solver, the host
+    env_step, and the lane-kernel wrapper: reshape the raw action segment
+    to (nbody, num_each, bvd), hull-project each slot's contact point,
+    scale force/torque by residual_force_scale ALONE (the reference's
+    rfc_explicit, humanoid_im.py:1110 — rfc_rate applies only to
+    rfc_implicit :1137), and return one (nbody, 9) [cp|f|τ] wrench per
+    body.
+
+    num_each > 1: the reference applies each slot at its OWN contact
+    point (mj_applyFT per idx, :1106-1131). Because rotation preserves
+    cross products, that equals one summed wrench with the slot
+    cross-terms folded into the body-frame torque:
+    τ_eff = Σ_idx (t_idx + cp_idx × f_idx), applied at cp = 0."""
+    import jax
+
+    bvd = vf_flat.shape[0] // (nbody * cfg.residual_force_bodies_num)
+    v = vf_flat.reshape(nbody, -1, bvd)
+    scale = cfg.residual_force_scale
+    if v.shape[1] > 1:
+        cp = v[:, :, 0:3]
+        if cfg.residual_contact_projection:
+            cp = jax.vmap(lambda c: project_vf_cp(model, c),
+                          in_axes=1, out_axes=1)(cp)
+        f = v[:, :, 3:6] * scale
+        t = (v[:, :, 6:9] * scale if cfg.residual_force_torque
+             else jnp.zeros_like(f))
+        f_sum = jnp.sum(f, axis=1)
+        t_eff = jnp.sum(t + jnp.cross(cp, f), axis=1)
+        return jnp.concatenate(
+            [jnp.zeros_like(f_sum), f_sum, t_eff], axis=1)
+    v1 = v[:, 0]
+    cp = v1[:, 0:3]
+    if cfg.residual_contact_projection:
+        cp = project_vf_cp(model, cp)
+    f = v1[:, 3:6] * scale
+    t = (v1[:, 6:9] * scale if cfg.residual_force_torque
+         else jnp.zeros_like(f))
+    return jnp.concatenate([cp, f, t], axis=1)
+
+
 def vf_contact_gate(model: Model, kin, mode: str):
     """Per-body 0/1 gate for explicit RFC (humanoid_im.py:1089-1105
     rfc_explicit): 'height' = body origin z <= 0.12 (the reference default

@@ -26,9 +26,13 @@ CD = J6ᵀ·K in a single concatenated MXU product. The per-body world
 inertia Iw = R·diag(I)·Rᵀ is computed lane-side (the bias force needs it
 anyway) and handed over as its 6 unique entries.
 
-Scope restrictions match v2: implicit (or no) RFC, plain/meta PD (no
-meta_pd_joint), shared model, optional self-collision (lane-packed combo
-rows here). Callers fall back to `uhc_tpu.physics.solver` otherwise.
+Scope (round 4+): implicit AND explicit RFC (per-body [cp,f,τ] operands,
+rotated/gated/projected in-kernel), plain PD, meta-PD, and meta_pd_joint
+(per-dof gain scales as (NP, EL) operand tiles), shared AND per-env
+(shape-library) models, optional self-collision (lane-packed combo rows).
+Still falls back to `uhc_tpu.physics.solver`: explicit RFC combined with
+per-env models (hull-projection tables are per-shape), and dynamic scene
+objects (physics/objects.py couples through engine.assemble only).
 
 Tree size: the 24-body SMPL tree (NP=80) runs the full production config
 (pcg_vpu=True, ET=32). Large trees (masterfoot 48 / SMPL-H 52, NP=160)
@@ -1194,24 +1198,17 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             vf = jnp.zeros((B, 6), dtype)
         vf = jnp.pad(vf, ((0, 0), (0, 8 - vf.shape[1])))
         if VFX:
-            # mirror env_step's host-side prep (humanoid_im.py:186-198):
-            # sum num_each slots, hull-project cp, scale f/t
-            from uhc_tpu.physics.engine import project_vf_cp
-            bvd = vf_dim // (nb * cfg.residual_force_bodies_num)
-            raw = actions[:, ndof:ndof + vf_dim].reshape(B, nb, -1, bvd)
-            raw = (jnp.sum(raw, axis=2) if raw.shape[2] > 1
-                   else raw[:, :, 0])
-            scale = cfg.residual_force_scale * rfc_rate
-            cp = raw[:, :, 0:3]
-            if cfg.residual_contact_projection:
-                cp = jax.vmap(lambda c: project_vf_cp(model, c))(cp)
-            f_b = raw[:, :, 3:6] * scale
-            t_b = (raw[:, :, 6:9] * scale if cfg.residual_force_torque
-                   else jnp.zeros_like(f_b))
+            # mirror env_step's host-side prep (humanoid_im.py:182-212):
+            # per-slot hull projection + scale; reference rfc_explicit
+            # (:1110) uses residual_force_scale alone (no rfc_rate). With
+            # num_each > 1 the per-slot forces fold exactly into one wrench
+            # per body: τ_eff = Σ_idx (t_idx + cp_idx × f_idx) at cp = 0
+            # (rotation preserves cross products).
+            from uhc_tpu.physics.engine import prep_explicit_vf
+            vfb = jax.vmap(lambda a: prep_explicit_vf(model, cfg, a, nb))(
+                actions[:, ndof:ndof + vf_dim])          # (B, nb, 9)
             vfx = jnp.concatenate(
-                [cp[:, :, c] for c in range(3)]
-                + [f_b[:, :, c] for c in range(3)]
-                + [t_b[:, :, c] for c in range(3)], axis=1)  # (B, 9nb)
+                [vfb[:, :, c] for c in range(9)], axis=1)  # (B, 9nb)
 
         j = qpos[:, 7:7 + ndof].reshape(B, nb - 1, 3)
         zcol = jnp.zeros((B, 1), dtype)

@@ -154,16 +154,8 @@ def make_do_simulation(topo: Topology, cfg, pcg_iters: int = 5):
                               cfg.residual_force_lim)
                 qfrc_applied = qfrc_applied.at[:6].set(vf)
             elif cfg.residual_force:
-                bvd = H.body_vf_dim(cfg)
-                v = action[ndof:ndof + vf_dim].reshape(topo.nbody, -1, bvd)
-                v = jnp.sum(v, axis=1) if v.shape[1] > 1 else v[:, 0]
-                s = cfg.residual_force_scale * rfc_rate
-                cp = v[:, 0:3]
-                if cfg.residual_contact_projection:
-                    cp = E.project_vf_cp(model, cp)
-                t = (v[:, 6:9] * s if cfg.residual_force_torque
-                     else jnp.zeros_like(v[:, 3:6]))
-                vf_body = jnp.concatenate([cp, v[:, 3:6] * s, t], 1)
+                vf_body = E.prep_explicit_vf(
+                    model, cfg, action[ndof:ndof + vf_dim], topo.nbody)
             vf_gate = None
             if (cfg.residual_force and cfg.residual_force_mode != "implicit"
                     and cfg.residual_contact_only):

@@ -285,6 +285,94 @@ def test_lane_kernel_per_env_model_interpret():
     assert float(jnp.max(jnp.abs(q1[0] - q1[1]))) > 1e-6
 
 
+@pytest.mark.slow
+def test_lane_kernel_per_env_contact_scalars_interpret():
+    """Per-env contact scalars (friction / penalty stiffness / damping —
+    the domain-randomization axis, data.dataset.build_dr_library) through
+    the lane kernel vs the XLA solver on the SAME gathered models. Envs
+    alternate between nominal and a slippery/soft variant by seq_idx; the
+    start pose is sunk 2 cm so ground contacts are live."""
+    import dataclasses
+
+    from uhc_tpu.physics.model import model_gather
+    from uhc_tpu.physics.pallas_lane import make_fused_do_simulation_lane
+
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    seqs = load_motion_file(NEUTRAL)
+    lib, _ = build_expert_library(topo, model, seqs, max_len=8)
+
+    model_lib = dataclasses.replace(
+        model,
+        friction=jnp.asarray([float(model.friction), 0.45]),
+        contact_stiffness=jnp.asarray(
+            [float(model.contact_stiffness),
+             0.55 * float(model.contact_stiffness)]),
+        contact_damping=jnp.asarray(
+            [float(model.contact_damping),
+             1.7 * float(model.contact_damping)]))
+
+    B = 16
+    rng = jax.random.PRNGKey(0)
+    seq_idx = jnp.asarray(np.arange(B) % 2, jnp.int32)
+    qp = jnp.tile(lib["qpos"][0, 0][None], (B, 1))
+    qp = qp.at[:, 2].add(-0.02)          # active ground contacts
+    qv = 0.05 * jax.random.normal(rng, (B, topo.nv))
+    tb = jnp.tile(lib["qpos"][0, 1, 7:][None], (B, 1))
+
+    cfg = EnvConfig(self_collision=True)
+    nd, vf, meta = H.action_dims(topo, cfg)
+    act = 0.02 * jax.random.normal(rng, (B, nd + vf + meta))
+
+    sim = S.make_do_simulation(topo, cfg, pcg_iters=3)
+    m_envs = model_gather(model_lib, seq_idx)
+    q_ref, v_ref = sim(m_envs, qp, qv, act, tb, 1.0)
+
+    lane = make_fused_do_simulation_lane(topo, cfg, model_lib, env_tile=16,
+                                         sub_tile=8, pcg_iters=3,
+                                         interpret=True, pcg_vpu=True)
+    q1, v1 = lane(qp, qv, act, tb, 1.0, seq_idx)
+    assert float(jnp.max(jnp.abs(q1 - q_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(v1 - v_ref))) < 1e-3
+    # the two contact variants must actually integrate differently
+    assert float(jnp.max(jnp.abs(q1[0] - q1[1]))) > 1e-6
+
+
+def test_build_dr_library_shapes():
+    """build_dr_library: variant-0 nominal, tiled expert features, batched
+    contact/mass leaves, and lane-kernel-admissible leaf set."""
+    from uhc_tpu.data.dataset import build_dr_library
+    from uhc_tpu.physics.model import model_batch_axes
+    from uhc_tpu.physics.pallas_lane import PE_MODEL_LEAVES
+
+    topo, model = load_mjcf_humanoid(XML)
+    model = model_to_dtype(model, jnp.float32)
+    seqs = load_motion_file(NEUTRAL)
+    lib, keys, model_lib = build_dr_library(topo, model, seqs,
+                                            n_variants=4, max_len=6, seed=3)
+    S = len(keys) // 4
+    assert len(keys) == 4 * S and keys[S].endswith("@dr1")
+    assert lib["qpos"].shape[0] == 4 * S
+    np.testing.assert_array_equal(np.asarray(lib["qpos"][0]),
+                                  np.asarray(lib["qpos"][S]))
+    fr = np.asarray(model_lib.friction)
+    assert fr.shape == (4 * S,)
+    assert fr[0] == float(model.friction)          # variant 0 nominal
+    assert len(set(np.round(fr, 6))) > 1           # variants differ
+    assert np.all(fr >= float(model.friction) / 1.5 - 1e-6)
+    assert np.all(fr <= float(model.friction) * 1.5 + 1e-6)
+    ms = np.asarray(model_lib.body_mass)
+    assert ms.shape == (4 * S, topo.nbody)
+    np.testing.assert_allclose(ms[0], np.asarray(model.body_mass),
+                               rtol=1e-6)
+    # every batched leaf must be admissible on the lane per-env path
+    import dataclasses as _dc
+    axes = model_batch_axes(model_lib)
+    batched = {f.name for f in _dc.fields(type(model_lib))
+               if getattr(axes, f.name) == 0}
+    assert batched <= set(PE_MODEL_LEAVES)
+
+
 def test_production_routing_uses_asymmetric_pcg(monkeypatch):
     """make_env_step_batched's small-tree lane branch must request the
     asymmetric PD/FD PCG schedule (pd=1, fd=fused_pcg_iters) — the

@@ -56,6 +56,14 @@ def main():
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace (XProf/TensorBoard "
                         "format) of epochs 2-4 into DIR")
+    p.add_argument("--dr-variants", type=int, default=0,
+                   help="contact-domain-randomization: replicate every clip "
+                        "across N perturbed-contact models (friction / "
+                        "penalty stiffness / damping / mass; variant 0 "
+                        "nominal) for cross-simulator robustness fine-tuning")
+    p.add_argument("--dr-friction-scale", type=float, default=1.5)
+    p.add_argument("--dr-contact-scale", type=float, default=2.0)
+    p.add_argument("--dr-mass-scale", type=float, default=1.15)
     args = p.parse_args()
 
     import jax
@@ -94,7 +102,11 @@ def main():
                              horizon=args.horizon, mesh=mesh, seed=args.seed,
                              max_seq_len=args.max_seq_len,
                              results_dir=args.results_dir,
-                             smpl_data=args.smpl_data)
+                             smpl_data=args.smpl_data,
+                             dr_variants=args.dr_variants,
+                             dr_friction_scale=args.dr_friction_scale,
+                             dr_contact_scale=args.dr_contact_scale,
+                             dr_mass_scale=args.dr_mass_scale)
         logger = create_logger(os.path.join(agent.results_dir, "log"))
         logger.info(f"cfg {cfg.cfg_id}: obs_dim={agent.obs_dim} "
                     f"action_dim={agent.action_dim} seqs={len(agent.seq_keys)}")

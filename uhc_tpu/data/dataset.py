@@ -290,6 +290,66 @@ def build_shaped_library(topo: Topology, base_model: Model, seqs,
     return lib, keys, model_lib
 
 
+def build_dr_library(topo: Topology, model: Model, seqs,
+                     n_variants: int = 8, friction_scale: float = 1.5,
+                     contact_scale: float = 2.0, mass_scale: float = 1.15,
+                     seed: int = 0, fps: float = 30.0,
+                     max_len: Optional[int] = None):
+    """Domain-randomized expert library for cross-simulator robustness
+    fine-tuning: every sequence is replicated `n_variants` times, each
+    replica paired with a Model whose contact scalars (friction, penalty
+    stiffness/damping) and body masses are perturbed log-uniformly around
+    nominal. Variant 0 is exactly nominal. Training across the variants
+    widens the policy's robustness margin so it survives the contact-model
+    differences of a different simulator (the transfer gap measured by
+    tools/cross_sim_eval.py; the reference has no DR — this is the
+    TPU-native answer to its single-simulator assumption).
+
+    Returns (lib, keys, model_lib): lib/keys are the expert library tiled
+    variant-major (keys `k` for v0, `k@dr<v>` after); model_lib is a Model
+    whose friction/contact_stiffness/contact_damping (and body_mass /
+    body_inertia under `mass_scale`) carry a leading (S*V,) library dim —
+    gathered per env by seq_idx like the shape library
+    (physics.pallas_lane per-env path)."""
+    import dataclasses as _dc
+
+    lib, keys0 = build_expert_library(topo, model, seqs, fps=fps,
+                                      max_len=max_len)
+    S = len(keys0)
+    V = int(n_variants)
+    if V < 2:
+        raise ValueError("build_dr_library needs n_variants >= 2")
+
+    lib = {k: jnp.concatenate([v] * V, axis=0) for k, v in lib.items()}
+    keys = list(keys0) + [f"{k}@dr{v}" for v in range(1, V) for k in keys0]
+
+    rng = np.random.default_rng(seed)
+
+    def _factors(scale):
+        # log-uniform in [1/scale, scale]; variant 0 pinned to nominal
+        f = np.exp(rng.uniform(np.log(1.0 / scale), np.log(scale),
+                               size=(V,))).astype(np.float32)
+        f[0] = 1.0
+        return np.repeat(f, S)                       # (S*V,) variant-major
+
+    def _batch_scalar(leaf, scale):
+        base = float(np.asarray(jax.device_get(leaf)))
+        return jnp.asarray(base * _factors(scale))
+
+    mass_f = _factors(mass_scale)                    # (S*V,)
+    bm = np.asarray(jax.device_get(model.body_mass), np.float32)
+    bi = np.asarray(jax.device_get(model.body_inertia), np.float32)
+    model_lib = _dc.replace(
+        model,
+        friction=_batch_scalar(model.friction, friction_scale),
+        contact_stiffness=_batch_scalar(model.contact_stiffness,
+                                        contact_scale),
+        contact_damping=_batch_scalar(model.contact_damping, contact_scale),
+        body_mass=jnp.asarray(mass_f[:, None] * bm[None, :]),
+        body_inertia=jnp.asarray(mass_f[:, None, None] * bi[None, :, :]))
+    return lib, keys, model_lib
+
+
 def load_neutral(path: str = "/root/reference/sample_data/standing_neutral.pkl"):
     """Standing-neutral reset pose (qpos, qvel) for reactive initialization
     (humanoid_im.py:66 netural_data)."""

@@ -47,7 +47,10 @@ class CopycatAgent:
                  num_envs: int = 1024, horizon: int = 48,
                  mesh: Optional[Mesh] = None, seed: Optional[int] = None,
                  model_xml: str = NEUTRAL_XML, max_seq_len: Optional[int] = None,
-                 results_dir: Optional[str] = None, smpl_data=None):
+                 results_dir: Optional[str] = None, smpl_data=None,
+                 dr_variants: int = 0, dr_friction_scale: float = 1.5,
+                 dr_contact_scale: float = 2.0, dr_mass_scale: float = 1.15,
+                 dr_seed: int = 0):
         self.cfg = cfg
         self.env_cfg = cfg.env
         self.num_envs = num_envs
@@ -130,6 +133,22 @@ class CopycatAgent:
             self.smpl_data = (smpl_data if not isinstance(smpl_data, dict)
                               else smpl_data.get(
                                   "neutral", next(iter(smpl_data.values()))))
+        elif dr_variants >= 2:
+            # contact-domain-randomized fine-tuning (cross-simulator
+            # robustness; tools/cross_sim_eval.py is the acceptance test):
+            # every clip replicated across n_variants perturbed-contact
+            # models, gathered per env like the shape library
+            from uhc_tpu.data.dataset import build_dr_library
+            if self.converter is not None or self._smplh:
+                raise NotImplementedError(
+                    "dr_variants is supported on the 24-body SMPL family")
+            self.expert_lib, self.seq_keys, model_lib = build_dr_library(
+                self.topo, self.model, seqs, n_variants=dr_variants,
+                friction_scale=dr_friction_scale,
+                contact_scale=dr_contact_scale, mass_scale=dr_mass_scale,
+                seed=dr_seed, max_len=max_seq_len)
+            self.sim_model = model_to_dtype(model_lib, jnp.float32)
+            self.smpl_data = None
         else:
             self.expert_lib, self.seq_keys = build_expert_library(
                 self.topo, self.model, seqs, max_len=max_seq_len,

@@ -64,7 +64,13 @@ HI = jax.lax.Precision.HIGHEST
 # (smpl/robot.py:60-69,126-128). Everything else must be shared.
 PE_MODEL_LEAVES = ("body_pos", "body_ipos", "body_mass", "body_inertia",
                    "body_iquat", "jnt_range", "contact_point", "sc_point",
-                   "sc_radius")
+                   "sc_radius",
+                   # per-env contact scalars: domain-randomization axis for
+                   # cross-simulator robustness training (the friction /
+                   # penalty-stiffness / damping mismatch is the suspected
+                   # transfer gap on low-momentum gaits, PARITY.md). Packed
+                   # as one (3, EL) lane tile when any of them is batched.
+                   "contact_stiffness", "contact_damping", "friction")
 
 
 def _dg(a, b, ca, cb):
@@ -200,11 +206,19 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                        "jnt_range", "contact_point", "contact_mask")}
     dt = float(np.asarray(jax.device_get(model.dt)))
     grav_z = float(np.asarray(jax.device_get(model.gravity))[2])
-    c_stiff = float(np.asarray(jax.device_get(model.contact_stiffness)))
-    c_damp = float(np.asarray(jax.device_get(model.contact_damping)))
+    # contact scalars: compile-time floats on the shared path; when any of
+    # them carries a library dim (domain randomization) they ride a (3, EL)
+    # per-env operand instead and these floats are representative only
+    pe_csc = per_env and any(
+        np.asarray(jax.device_get(getattr(model, f))).ndim > 0
+        for f in ("contact_stiffness", "contact_damping", "friction"))
+    c_stiff = float(np.asarray(
+        jax.device_get(model.contact_stiffness)).reshape(-1)[0])
+    c_damp = float(np.asarray(
+        jax.device_get(model.contact_damping)).reshape(-1)[0])
     c_cap = float(np.asarray(jax.device_get(model.contact_depth_cap)))
     c_vreg = float(np.asarray(jax.device_get(model.contact_vreg)))
-    mu = float(np.asarray(jax.device_get(model.friction)))
+    mu = float(np.asarray(jax.device_get(model.friction)).reshape(-1)[0])
     K = m["contact_point"].shape[1]
 
     # ---- static structure -------------------------------------------------
@@ -358,8 +372,15 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                     c = (p * SCN + si) * SCN + sj
                     LIB_RS[:, c] = scr_lib[:, a] + scr_lib[:, b]
         LIB_MASSR = np.ascontiguousarray(ms_l)               # (S, nb)
-        libs = tuple(jnp.asarray(x) for x in
-                     (LIB_CBT, LIB_JR, LIB_CP, LIB_SCP, LIB_RS, LIB_MASSR))
+        lib_list = [LIB_CBT, LIB_JR, LIB_CP, LIB_SCP, LIB_RS]
+        if pe_csc:
+            # (S, 3) = [stiffness, damping, friction] per library entry
+            LIB_CSC = np.stack([_lib("contact_stiffness", 0),
+                                _lib("contact_damping", 0),
+                                _lib("friction", 0)], axis=1)
+            lib_list.append(np.ascontiguousarray(LIB_CSC))
+        lib_list.append(LIB_MASSR)
+        libs = tuple(jnp.asarray(x) for x in lib_list)
 
     IEL = np.eye(EL, dtype=np.float32)
 
@@ -377,9 +398,14 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
             vfx_ref = refs[12]       # (9nb, EL): [cp|f|t] comp-major
             i0 = 13
         if per_env:
-            (pe_cbt_ref, pe_jr_ref, pe_cp_ref, pe_scp_ref, pe_rs_ref,
-             pe_massr_ref) = refs[i0:i0 + 6]
-            i0 += 6
+            if pe_csc:
+                (pe_cbt_ref, pe_jr_ref, pe_cp_ref, pe_scp_ref, pe_rs_ref,
+                 pe_csc_ref, pe_massr_ref) = refs[i0:i0 + 7]
+                i0 += 7
+            else:
+                (pe_cbt_ref, pe_jr_ref, pe_cp_ref, pe_scp_ref, pe_rs_ref,
+                 pe_massr_ref) = refs[i0:i0 + 6]
+                i0 += 6
         (cbt_ref, clt_ref, clr_ref, cs_ref, cpar_ref, ce_ref,
          cbr_ref, cc3_ref, gab_ref, pab_ref, rs_ref, scpk_ref,
          iel_ref) = refs[i0:i0 + 13]
@@ -693,10 +719,19 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                 # (engine.vf_contact_gate "ground")
                 gate_b = jnp.max(act, axis=1)
             pen = jnp.clip(-wpz, 0.0, c_cap)
-            fn = c_stiff * pen * act
+            if pe_csc:
+                # per-env contact scalars: (3, EL) -> (1, 1, EL) broadcast
+                # against the (nb, K, EL) contact tiles
+                csc = pe_csc_ref[:]
+                k_stiff = csc[0:1][:, None, :]
+                k_damp = csc[1:2][:, None, :]
+                k_mu = csc[2:3][:, None, :]
+            else:
+                k_stiff, k_damp, k_mu = c_stiff, c_damp, mu
+            fn = k_stiff * pen * act
             vt = jnp.sqrt(vpx**2 + vpy**2 + 1e-12)
-            bco = c_damp * act
-            aco = act * jnp.minimum(mu * fn / jnp.maximum(vt, c_vreg),
+            bco = k_damp * act
+            aco = act * jnp.minimum(k_mu * fn / jnp.maximum(vt, c_vreg),
                                     2000.0)
             cx3, cy3, cz3 = cx_[:, None, :], cy_[:, None, :], cz_[:, None, :]
             rxc = px3 + dxp - cx3
@@ -1256,10 +1291,12 @@ def make_fused_do_simulation_lane(topo: Topology, cfg, model: Model,
                     [g, jnp.broadcast_to(g[:1], (Bp - B,) + g.shape[1:])],
                     0) for g in gath]
             pe_args = [jnp.moveaxis(g, 0, -1).astype(dtype)
-                       for g in gath[:5]] + [gath[5].astype(dtype)]
+                       for g in gath[:-1]] + [gath[-1].astype(dtype)]
             args += pe_args
             pe_shapes = [(14, nb), (2, NP), (3 * nb, K), (nb, 3 * SCN),
                          (CN,)]
+            if pe_csc:
+                pe_shapes.append((3,))
             in_specs += [pl.BlockSpec(s + (EL,),
                                       lambda g, n=len(s): (0,) * n + (g,),
                                       memory_space=pltpu.VMEM)

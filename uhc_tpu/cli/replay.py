@@ -35,6 +35,13 @@ def main(argv=None):
                         "positions, qpos if present) to an .npz for "
                         "notebook inspection — the headless 'pause and "
                         "poke' equivalent of the reference viewer")
+    p.add_argument("--interactive", action="store_true",
+                   help="open the interactive viewer (matplotlib window "
+                        "with the reference Visualizer/MjViewer key map: "
+                        "space pause, left/right step, s reverse, q next "
+                        "take, w/e first/last, g loop, d/f speed, "
+                        "t screenshot, v record). Needs a GUI matplotlib "
+                        "backend; headless hosts use --all/--out instead")
     args = p.parse_args(argv)
 
     import joblib
@@ -45,6 +52,13 @@ def main(argv=None):
             print(f"{k}: {len(v['pred_jpos'])} frames, "
                   f"percent={v.get('percent', float('nan')):.2f}, "
                   f"fail_safe={v.get('fail_safe')}")
+        return
+
+    if args.interactive:
+        from uhc_tpu.utils.interactive import InteractiveViewer
+
+        viewer = InteractiveViewer(takes, fps=args.fps)
+        viewer.show()
         return
 
     from uhc_tpu.utils.visualizer import render_comparison

@@ -39,6 +39,14 @@ def main():
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--data", default="sample_data/gait_clips.pkl")
     p.add_argument("--out", default=None)
+    p.add_argument("--dump-openloop", default=None, metavar="PKL",
+                   help="write the open-loop kin rollout as a reference-"
+                        "format motion pkl (pose_aa/trans per key) so the "
+                        "copycat stack can try to TRACK the kin policy's "
+                        "own trajectory (the reference's ar_mode): "
+                        "cli.eval --data <PKL> with a UHC checkpoint "
+                        "isolates whether the kin targets are physically "
+                        "trackable at all")
     args = p.parse_args()
 
     import pickle
@@ -90,6 +98,7 @@ def main():
         params, topo, model, specs, qp, qv, ss))
 
     report = {}
+    openloop_dump = {}
     for s, key in enumerate(keys):
         T = int(lens[s])
         qp, qv, wj = (jnp.asarray(gt_q[s][:T]), jnp.asarray(gt_v[s][:T]),
@@ -103,6 +112,16 @@ def main():
                                     T - 1, -1),
                                 wj[1:], False, 1.0)
             row[mode] = {k: round(float(v), 2) for k, v in m.items()}
+            if mode == "open_loop" and args.dump_openloop:
+                from uhc_tpu.smpl.convert import qpos_to_smpl
+
+                aa, trans = qpos_to_smpl(jnp.asarray(pred["qpos"]),
+                                         model.body_pos[0])
+                openloop_dump[key] = {
+                    "pose_aa": np.asarray(jax.device_get(aa)).reshape(
+                        T, -1).astype(np.float32),
+                    "trans": np.asarray(
+                        jax.device_get(trans)).astype(np.float32)}
         report[key] = row
         print(key, json.dumps(row), flush=True)
 
@@ -117,6 +136,12 @@ def main():
             json.dump({"summary": agg, "per_seq": report,
                        "checkpoint": args.checkpoint}, f, indent=1)
         print(f"wrote {args.out}")
+    if args.dump_openloop:
+        import joblib
+
+        joblib.dump(openloop_dump, args.dump_openloop)
+        print(f"dumped {len(openloop_dump)} open-loop kin trajectories "
+              f"-> {args.dump_openloop}")
 
 
 if __name__ == "__main__":

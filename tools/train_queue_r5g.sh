@@ -7,8 +7,10 @@
 #        0.07 -> 0.28 over the 150 epochs the r4 run got before its eval
 #        leg died — the family is undertrained (the nominal dyn19 run
 #        needed 4000 epochs), not structurally broken. 2000 epochs is
-#        ~40 min of chip time.
-# Leg 2: shape eval -> per_seq_eval log + eval JSON.
+#        ~40 min of chip time after a ~23 min compile.
+# Leg 2: shape eval. Runs on the chip when time allows, else on CPU
+#        (the zero-shot 19-clip eval ran on CPU in r4 the same way) so a
+#        trained checkpoint never again goes un-evaluated (r4 weak #4).
 # Leg 3: side_step_wide refit at horizon 96 — the one dyn19 holdout; its
 #        horizon-48 refit plateaued at full-seq root_dist ~141 mm
 #        (train_queue_r5f.log): 48-frame windows never expose the
@@ -17,7 +19,7 @@
 #        retry_run.sh (VERDICT r4 #4: the HTTP 500 kills were never
 #        retried; a clean fail under retry makes them measured dead ends).
 #
-# Every leg is deadline-guarded so the chip is free for the driver's
+# Every chip leg is deadline-guarded so the chip is free for the driver's
 # end-of-round bench.py run.
 set -u
 cd "$(dirname "$0")/.."
@@ -40,21 +42,33 @@ left() { echo $(( DEADLINE - $(date +%s) )); }
 fits_ok() { [ "$(left)" -gt "$1" ]; }
 skip() { echo "--- SKIP $1: $(left)s left ---" >> $LOG; }
 
-# leg 1+2: shape resume + eval (compile ~25 min + 1850 ep * 1.25 s ~ 40 min)
-if fits_ok 5400; then
-  $R 6600 2 shape_resume $LOG -- python -m uhc_tpu.cli.train \
+# leg 1: shape resume (compile ~23 min + 1850 ep * 1.25 s ~ 40 min).
+# Budget the leg to what actually remains so a partial run still saves
+# its iter_*.p checkpoints (save-n-epochs 250 ~ every 5 min of training).
+if fits_ok 3600; then
+  $R $(( $(left) - 300 )) 1 shape_resume $LOG -- python -m uhc_tpu.cli.train \
     --cfg uhc_implicit_shape --motion-file sample_data/shape_clips.pkl \
     --num-envs 1024 --horizon 32 --epoch 150 --epochs 2000 \
     --save-n-epochs 250 --results-dir $SHAPE
-  ep=$(ls $SHAPE/models/iter_[0-9]*.p 2>/dev/null \
-       | sed 's/.*iter_0*\([0-9][0-9]*\)\.p/\1/' | sort -n | tail -1)
-  if [ -n "${ep:-}" ] && [ "$ep" -gt 150 ] && fits_ok 2400; then
+else skip shape_resume; fi
+
+# leg 2: shape eval — chip if >=40 min remains, else CPU (slow but sure)
+ep=$(ls $SHAPE/models/iter_[0-9]*.p 2>/dev/null \
+     | sed 's/.*iter_0*\([0-9][0-9]*\)\.p/\1/' | sort -n | tail -1)
+if [ -n "${ep:-}" ] && [ "$ep" -gt 150 ]; then
+  if fits_ok 2400; then
     $R 3600 2 shape_eval $LOG -- bash -c \
       "python -m uhc_tpu.cli.eval --cfg uhc_implicit_shape --epoch $ep \
        --data sample_data/shape_clips.pkl --results-dir $SHAPE \
        > $SHAPE/per_seq_eval_${ep}.log 2>&1"
-  else skip shape_eval; fi
-else skip shape_resume; fi
+  else
+    $R 10800 1 shape_eval_cpu $LOG -- bash -c \
+      "env JAX_PLATFORMS=cpu python -m uhc_tpu.cli.eval \
+       --cfg uhc_implicit_shape --epoch $ep \
+       --data sample_data/shape_clips.pkl --results-dir $SHAPE \
+       > $SHAPE/per_seq_eval_${ep}_cpu.log 2>&1"
+  fi
+fi
 
 # leg 3: the last dyn19 holdout at a drift-exposing horizon
 if fits_ok 4200; then

@@ -74,14 +74,21 @@ def fk_feet(topo, model, qpos_seq):
                 lambda qq, cp: jax.vmap(
                     lambda c: E.quat_rotate(qq, c))(cp))(
                 kin["xquat"], model.contact_point)
-            # per-side min-z contact point + its xy
+            # per-side lowest contact point, softmin-blended over the
+            # near-lowest points (~1 cm scale): a hard argmin switches
+            # contact-point IDENTITY between frames (toe<->heel hull
+            # points), making a planted foot appear to move at ~2 m/s —
+            # which anchor_root then integrated into a 69 mm root jump at
+            # the start of the wide side-step (RESULTS.md r5 diagnosis)
             out = []
             for bods in sides:
                 pts = jnp.concatenate([wp[b] for b in bods], axis=0)
                 msk = jnp.concatenate([model.contact_mask[b] for b in bods])
                 z = jnp.where(msk > 0, pts[:, 2], 1e9)
-                i = jnp.argmin(z)
-                out.append(pts[i])
+                ww = jnp.where(msk > 0,
+                               jnp.exp(-(z - z.min()) / 0.01), 0.0)
+                ww = ww / jnp.maximum(ww.sum(), 1e-9)
+                out.append((ww[:, None] * pts).sum(0))
             return jnp.stack(out)                     # (2, 3)
         return jax.vmap(one)(qs)
 
@@ -104,6 +111,15 @@ def anchor_root(topo, model, qpos_seq, stance_w=None):
     w = w / np.maximum(w.sum(1, keepdims=True), 1e-6)
     # root-frame foot velocity -> negative root velocity
     vel_feet = np.gradient(feet[:, :, :2], axis=0) * FPS     # (T, 2, 2)
+    # np.gradient's one-sided EDGE differences put the full first/last
+    # stride-phase velocity into frame 0/T-1; on high-amplitude gaits
+    # (side=0.45) that authored a 69 mm root jump between frames 0-1
+    # (2.08 m/s for one frame, then 0.2) — an init transient a physical
+    # controller cannot brake, which cost side_step_wide its full-clip
+    # success (RESULTS.md). Replicate the interior velocity at the edges.
+    if len(vel_feet) > 2:
+        vel_feet[0] = vel_feet[1]
+        vel_feet[-1] = vel_feet[-2]
     v_root = -(w[:, :, None] * vel_feet).sum(1)              # (T, 2)
     xy = np.cumsum(v_root / FPS, axis=0)
     # remove secular lateral drift (weighting asymmetries accumulate a slow

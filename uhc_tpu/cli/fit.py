@@ -70,6 +70,12 @@ def main():
     one_hot = np.full(len(agent.seq_keys), -1e9, np.float32)
     one_hot[key_idx] = 0.0
     agent.sampler.logits = lambda: one_hot  # type: ignore[method-assign]
+    # failure-frame-targeted restarts — the fit protocol always runs in
+    # precision mode (fit_uhc.py:111 agent.precision_mode = True): windows
+    # restart near recorded failure starts, so a localized transient (e.g.
+    # a hard clip opening) gets dense training exposure instead of the
+    # ~1/len(clip) share uniform window sampling gives it
+    agent.precision_mode = True
 
     singles = os.path.join(agent.results_dir, "_singles")
     os.makedirs(singles, exist_ok=True)

@@ -142,6 +142,9 @@ class Config:
     composer_dim: Tuple[int, ...] = (300, 200)
     sampling_temp: float = 0.2
     sampling_freq: float = 0.75
+    # failure-frame-targeted restarts (agent_copycat.py:103; the per-seq
+    # fit protocol switches it on, fit_uhc.py:111)
+    precision_mode: bool = False
     end_reward: bool = False
     # adv_clip is parsed for YAML parity but — exactly like the reference
     # (copycat_config.py:31 is its only occurrence; no agent reads it) —
@@ -260,6 +263,7 @@ class Config:
                 d.get("composer_dim", [[300, 200]])[0], (list, tuple)) else tuple(d.get("composer_dim")),
             sampling_temp=d.get("sampling_temp", 0.2),
             sampling_freq=d.get("sampling_freq", 0.75),
+            precision_mode=d.get("precision_mode", False),
             end_reward=d.get("end_reward", False),
             adp_iter_cp=tuple(d.get("adp_iter_cp", (0,))),
             adp_noise_rate_cp=tuple(d.get("adp_noise_rate_cp", (1.0,))),

@@ -225,6 +225,9 @@ class CopycatAgent:
 
         self.sampler = FailureFrequencySampler(
             len(self.seq_keys), cfg.sampling_temp, cfg.sampling_freq)
+        # precision_mode: restart near recorded failure starts
+        # (agent_copycat.py:103; cli/fit.py forces it on like fit_uhc.py:111)
+        self.precision_mode = cfg.precision_mode
 
         # Route physics through the fused Pallas control-step kernel when
         # the config allows it (fused_compatible); make_env_step_batched
@@ -270,12 +273,13 @@ class CopycatAgent:
 
     # -- one full PPO epoch on device ---------------------------------------
     def _train_step_impl(self, ppo_state, log_std, rs, env_states, rng,
-                         noise_rate, rfc_rate, seq_logits, end_reward):
+                         noise_rate, rfc_rate, seq_logits, end_reward,
+                         fail_pool, precision_freq):
         rng, k_roll, k_ppo = jax.random.split(rng, 3)
         env_states, rs, traj, last_obs = self._rollout(
             self.sim_model, self.expert_lib, self.aux, ppo_state.policy_params,
             log_std, rs, env_states, k_roll, noise_rate, rfc_rate, seq_logits,
-            end_reward)
+            end_reward, fail_pool, precision_freq)
 
         values = self.value_fn(ppo_state.value_params,
                                traj.states.reshape(-1, self.obs_dim))
@@ -308,7 +312,8 @@ class CopycatAgent:
             "avg_eps_len": self.horizon * self.num_envs / n_done,
             **ppo_stats,
         }
-        telemetry = (traj.seq_idx, traj.dones, traj.percents)
+        telemetry = (traj.seq_idx, traj.dones, traj.percents,
+                     traj.start_inds)
         return ppo_state, log_std, rs, env_states, rng, stats, telemetry
 
     def optimize_policy(self, epoch: int):
@@ -322,13 +327,20 @@ class CopycatAgent:
         if self.env_cfg.rfc_decay:
             rfc_rate = max(0.0, 1.0 - epoch / 10000.0)
         seq_logits = jnp.asarray(self.sampler.logits())
+        # precision_mode (agent_copycat.py:103, switched on by
+        # fit_uhc.py:111): restart near recorded failure starts with the
+        # same mixing rate as the sequence-level hard mining
+        fail_pool = jnp.asarray(self.sampler.fail_start_pool())
+        precision_freq = (self.cfg.sampling_freq
+                          if self.precision_mode else 0.0)
 
         (self.ppo_state, self.log_std, self.rs, self.env_states, self.rng,
          stats, telemetry) = self._train_step(
             self.ppo_state, self.log_std, self.rs, self.env_states, self.rng,
             jnp.asarray(noise_rate, jnp.float32),
             jnp.asarray(rfc_rate, jnp.float32), seq_logits,
-            jnp.asarray(self.end_reward, jnp.float32))
+            jnp.asarray(self.end_reward, jnp.float32),
+            fail_pool, jnp.asarray(precision_freq, jnp.float32))
 
         stats = jax.device_get(stats)
         if self.cfg.end_reward:

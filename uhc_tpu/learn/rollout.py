@@ -40,6 +40,7 @@ class TrajBatch(NamedTuple):
     percents: Any    # episode progress at termination (freq_dict telemetry)
     seq_idx: Any
     fails: Any
+    start_inds: Any  # episode window start (freq_dict [percent, fr_start])
 
 
 def make_rollout_fn(
@@ -62,15 +63,35 @@ def make_rollout_fn(
     env_step_batched = H.make_env_step_batched(topo, cfg, use_fast_solver,
                                                fused_model=fused_model)
 
-    def reset_like(model, expert_lib, aux, state: H.EnvState, rng, seq_logits):
+    def reset_like(model, expert_lib, aux, state: H.EnvState, rng, seq_logits,
+                   fail_pool=None, precision_freq=0.0):
         rng, k1, k2 = jax.random.split(rng, 3)
         seq_idx = jax.random.categorical(k1, seq_logits)
+        start_ind = None
+        if fail_pool is not None:
+            # precision_mode (dataset_amass_single.py:222-230, enabled by
+            # fit_uhc.py:111): with prob precision_freq restart near a
+            # previously FAILED window start — fr_start ~ U[max(c-20-t_min,
+            # 0), min(c+20, len-t_min)) around a recorded failure start c.
+            # fail_pool is (S, P) int32 with -1 padding for empty pools.
+            rng, k3, k4, k5, k6 = jax.random.split(rng, 5)
+            P = fail_pool.shape[1]
+            cand = fail_pool[seq_idx, jax.random.randint(k3, (), 0, P)]
+            length = expert_lib["len"][seq_idx]
+            hi = jnp.maximum(length - cfg.t_min, 1)
+            lo_p = jnp.maximum(cand - 20 - cfg.t_min, 0)
+            hi_p = jnp.clip(cand + 20, lo_p + 1, hi)
+            prec = jax.random.randint(k4, (), lo_p, hi_p)
+            uni = jax.random.randint(k5, (), 0, hi)
+            use_prec = jax.random.bernoulli(k6, precision_freq) & (cand >= 0)
+            start_ind = jnp.where(use_prec, prec, uni)
         return H.env_reset(topo, model, cfg, k2, seq_idx, expert_lib,
                            aux["neutral_qpos"], aux["neutral_qvel"],
-                           train=True)
+                           start_ind=start_ind, train=True)
 
     def rollout(model, expert_lib, aux, params, log_std, rs, env_state, rng,
-                noise_rate, rfc_rate, seq_logits, end_reward=0.0):
+                noise_rate, rfc_rate, seq_logits, end_reward=0.0,
+                fail_pool=None, precision_freq=0.0):
         jpos_diffw = aux["jpos_diffw"]
         body_diffw = aux["body_diffw"]
 
@@ -82,7 +103,8 @@ def make_rollout_fn(
             reset_keys = jax.random.split(k_reset, B)
             new_states = jax.vmap(
                 lambda k: reset_like(model, expert_lib, aux,
-                                     None, k, seq_logits))(reset_keys)
+                                     None, k, seq_logits,
+                                     fail_pool, precision_freq))(reset_keys)
             state = jax.tree.map(
                 lambda n, o: jnp.where(
                     jnp.reshape(state.done, (B,) + (1,) * (o.ndim - 1)), n, o),
@@ -110,7 +132,8 @@ def make_rollout_fn(
                 c_rewards=reward,
                 masks=1.0 - done.astype(mean.dtype), exps=exps,
                 reward_terms=terms, dones=done, percents=state2.percent,
-                seq_idx=state2.seq_idx, fails=state2.fail)
+                seq_idx=state2.seq_idx, fails=state2.fail,
+                start_inds=state2.start_ind)
             return (state2, rs, rng), out
 
         (env_state, rs, rng), traj = jax.lax.scan(

@@ -32,8 +32,11 @@ DEADLINE=${DEADLINE:-$(date -d '22:45' +%s)}
 mkdir -p results
 echo "=== r5g queue start $(date) deadline=$(date -d @$DEADLINE) ===" >> $LOG
 
-# wait for r5f to release the chip
-while [ -f /tmp/r5f.pid ] && kill -0 "$(cat /tmp/r5f.pid)" 2>/dev/null; do
+# wait for r5f to release the CHIP: either the queue exits, or it enters
+# its CPU-only cross-sim leg (the chip sits idle through that + the
+# likely-skipped uhm3 gate otherwise)
+while [ -f /tmp/r5f.pid ] && kill -0 "$(cat /tmp/r5f.pid)" 2>/dev/null \
+      && ! grep -q "dr_cross_sim attempt" results/train_queue_r5f.log; do
   sleep 60
 done
 echo "--- r5f released the chip $(date) ---" >> $LOG
@@ -45,7 +48,7 @@ skip() { echo "--- SKIP $1: $(left)s left ---" >> $LOG; }
 # leg 1: shape resume (compile ~23 min + 1850 ep * 1.25 s ~ 40 min).
 # Budget the leg to what actually remains so a partial run still saves
 # its iter_*.p checkpoints (save-n-epochs 250 ~ every 5 min of training).
-if fits_ok 3600; then
+if fits_ok 2700; then
   $R $(( $(left) - 300 )) 1 shape_resume $LOG -- python -m uhc_tpu.cli.train \
     --cfg uhc_implicit_shape --motion-file sample_data/shape_clips.pkl \
     --num-envs 1024 --horizon 32 --epoch 150 --epochs 2000 \

@@ -66,7 +66,7 @@ if [ -n "${ep:-}" ] && [ "$ep" -gt 150 ]; then
        > $SHAPE/per_seq_eval_${ep}.log 2>&1"
   else
     $R 10800 1 shape_eval_cpu $LOG -- bash -c \
-      "env JAX_PLATFORMS=cpu python -m uhc_tpu.cli.eval \
+      "env UHC_TPU_CPU=1 python -m uhc_tpu.cli.eval \
        --cfg uhc_implicit_shape --epoch $ep \
        --data sample_data/shape_clips.pkl --results-dir $SHAPE \
        > $SHAPE/per_seq_eval_${ep}_cpu.log 2>&1"

@@ -12,6 +12,14 @@ import jax
 
 
 def enable_compilation_cache(path: str | None = None) -> str:
+    # UHC_TPU_CPU=1: force the host backend. This jax build IGNORES the
+    # JAX_PLATFORMS env var (the axon TPU plugin registers regardless);
+    # only jax.config.update("jax_platforms") works — same note as
+    # tests/conftest.py:8. Every CLI calls enable_compilation_cache()
+    # before touching jax, so this is the one switch CPU queue legs need
+    # to actually stay off the chip.
+    if os.environ.get("UHC_TPU_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
     path = path or os.environ.get(
         "UHC_TPU_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(

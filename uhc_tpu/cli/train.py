@@ -49,6 +49,11 @@ def main():
 
     p.add_argument("--save-n-epochs", type=positive_int, default=None,
                    help="override cfg.save_n_epochs (checkpoint/eval cadence)")
+    p.add_argument("--no-train-eval", action="store_true",
+                   help="skip the eval-during-training at checkpoints "
+                        "(the eval program is a separate ~20-40 min Mosaic "
+                        "compile on a fresh config; deadline-bounded queue "
+                        "legs checkpoint here and eval separately)")
     p.add_argument("--warm-start-from", default=None, metavar="CKPT",
                    help="initialize policy/value/obs-stats from another "
                         "run's checkpoint file (cross-run warm start; "
@@ -165,7 +170,7 @@ def main():
         if (i + 1) % save_n == 0 or i + 1 == epochs:
             agent.save_checkpoint(i + 1)
             logger.info(f"saved checkpoint @ {i + 1}")
-            if args.agent == "copycat":
+            if args.agent == "copycat" and not args.no_train_eval:
                 # eval during training (agent_copycat.py:346-349) +
                 # iter_best.p tracking
                 res = agent.eval_policy()

@@ -1,0 +1,71 @@
+#!/bin/bash
+# Round-5i queue — the post-deadline continuation. The 22:45 bench window
+# passed without the driver claiming the chip, and a concurrency probe
+# (two simultaneous bench.py runs, both sane at ~482k) showed the axon
+# tunnel multiplexes clients cleanly — so a collision with a late driver
+# bench costs at most queueing delay, not a garbage number. Every leg
+# checkpoints frequently so an abrupt round end loses minutes, not runs.
+#
+# Leg 1: shape-conditioned resume 250 -> 2000 (VERDICT r4 #3). At epoch
+#        250 all four standing clips pass (4/8); windowed succ was 0.34
+#        and climbing at 1.2 s/epoch — the walking clips need epochs.
+# Leg 2: shape eval on CPU (chip stays free for leg 3).
+# Leg 3: uhm_3 (VERDICT r4 #5) — the UHM stack trained with the dyn19
+#        controller in the loop (the r5 diagnosis isolated uhm_2's 488 mm
+#        to kin-target root drift under a mismatched training controller).
+# Leg 4: uhm_3 eval_relive.
+# Leg 5: side_step_wide refit, horizon 96 + precision_mode (failure-frame
+#        restarts landed this round) — the last dyn19 holdout fails on a
+#        clip-opening transient precision restarts target directly.
+# Leg 6: 19-clip singles eval.
+set -u
+cd "$(dirname "$0")/.."
+echo $$ > /tmp/r5i.pid
+LOG=results/train_queue_r5i.log
+R=tools/retry_run.sh
+SHAPE=results/uhc_implicit_shape_r4
+DYN=results/uhc_implicit_dyn19
+CC=$DYN/models/iter_4000.p
+mkdir -p results
+echo "=== r5i queue start $(date) ===" >> $LOG
+
+$R 5400 2 shape_resume_c $LOG -- python -m uhc_tpu.cli.train \
+  --cfg uhc_implicit_shape --motion-file sample_data/shape_clips.pkl \
+  --num-envs 1024 --horizon 32 --epoch 250 --epochs 2000 \
+  --save-n-epochs 250 --no-train-eval --results-dir $SHAPE
+
+ep=$(ls $SHAPE/models/iter_[0-9]*.p 2>/dev/null \
+     | sed 's/.*iter_0*\([0-9][0-9]*\)\.p/\1/' | sort -n | tail -1)
+if [ -n "${ep:-}" ] && [ "$ep" -gt 250 ]; then
+  # CPU eval (program already in the CPU persistent cache, ~1 min)
+  $R 10800 1 "shape_eval_cpu_$ep" $LOG -- bash -c \
+    "env UHC_TPU_CPU=1 UHC_TPU_FUSED=0 python -m uhc_tpu.cli.eval \
+     --cfg uhc_implicit_shape --epoch $ep \
+     --data sample_data/shape_clips.pkl --results-dir $SHAPE \
+     > $SHAPE/per_seq_eval_${ep}_cpu.log 2>&1" &
+fi
+
+$R 9000 2 uhm3_train $LOG -- python -m uhc_tpu.cli.train --cfg uhm_1 \
+  --agent uhm --motion-file sample_data/gait_clips.pkl \
+  --cc-checkpoint $CC \
+  --num-envs 256 --horizon 24 --epochs 400 --save-n-epochs 100 \
+  --results-dir results/uhm_3
+ep=$(ls results/uhm_3/models/iter_[0-9]*.p 2>/dev/null \
+     | sed 's/.*iter_0*\([0-9][0-9]*\)\.p/\1/' | sort -n | tail -1)
+if [ -n "${ep:-}" ]; then
+  $R 3600 2 uhm3_relive $LOG -- python -m uhc_tpu.cli.eval_relive \
+    --cfg uhm_1 --epoch "$ep" --data sample_data/gait_clips.pkl \
+    --cc-checkpoint $CC --results-dir results/uhm_3
+fi
+
+$R 5400 2 fit_wide_h96 $LOG -- python -m uhc_tpu.cli.fit \
+  --cfg uhc_implicit --motion-file sample_data/gait_clips_ext.pkl \
+  --key 0-SYN_side_step_wide --epoch 4000 --max-epochs 300 \
+  --eval-every 20 --num-envs 256 --horizon 96 --results-dir $DYN
+
+$R 3600 2 singles_eval_i $LOG -- bash -c \
+  "python -m uhc_tpu.cli.eval --cfg uhc_implicit --epoch 4000 \
+   --data sample_data/gait_clips_ext.pkl --results-dir $DYN \
+   --singles-dir $DYN/_singles > $DYN/per_seq_eval_r5i_singles.log 2>&1"
+
+echo "=== r5i queue end $(date) ===" >> $LOG

@@ -68,4 +68,13 @@ $R 3600 2 singles_eval_i $LOG -- bash -c \
    --data sample_data/gait_clips_ext.pkl --results-dir $DYN \
    --singles-dir $DYN/_singles > $DYN/per_seq_eval_r5i_singles.log 2>&1"
 
+# kernel lever retries (VERDICT r4 #4): the r3/r4 HTTP 500 kills were
+# never retried; a clean fail under retry makes them measured dead ends
+$R 3000 2 bf16_row $LOG -- bash -c "python tools/kernel_bench.py \
+  'E=128,PCG=2,V=100,SPLIT=0,TAIL=16,SC=1,BF16=1,LANE=1,SUB=32,PCGV=1,PCGPD=1' \
+  | tee -a results/kernel_bench_prod.jsonl"
+$R 3000 2 e256_row $LOG -- bash -c "python tools/kernel_bench.py \
+  'E=256,PCG=2,V=100,SPLIT=0,TAIL=16,SC=1,BF16=0,LANE=1,SUB=32,PCGV=1,PCGPD=1' \
+  | tee -a results/kernel_bench_prod.jsonl"
+
 echo "=== r5i queue end $(date) ===" >> $LOG
